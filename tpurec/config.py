@@ -1,0 +1,169 @@
+"""Typed configuration system.
+
+The reference uses three ad-hoc config mechanisms — argparse in each
+``__main__`` (2.FM/ModelManager.py:309-331), absl.flags in DataGenerators
+(2.FM/DataGenerator.py:13-20), and stringly-typed ``eval()`` of list/dict args
+(2.FM/ModelManager.py:330). This module replaces all three with plain typed
+dataclasses; nothing is ever ``eval()``-ed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+def _coerce(cls, value):
+    """Recursively build a dataclass from a mapping (for JSON/dict configs)."""
+    if value is None or not dataclasses.is_dataclass(cls):
+        return value
+    if isinstance(value, cls):
+        return value
+    if not isinstance(value, Mapping):
+        raise TypeError(f"cannot build {cls.__name__} from {type(value).__name__}")
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in value.items():
+        if key not in fields:
+            raise KeyError(f"unknown field {key!r} for {cls.__name__}")
+        target = _DATACLASS_FIELD_TYPES.get((cls, key))
+        if target is not None:
+            val = _coerce(target, val)
+        elif isinstance(val, list):
+            val = tuple(val)  # JSON arrays ↔ tuple fields
+        kwargs[key] = val
+    return cls(**kwargs)
+
+
+_DATACLASS_FIELD_TYPES: dict = {}
+
+
+def _register_nested(cls, **nested):
+    for name, sub in nested.items():
+        _DATACLASS_FIELD_TYPES[(cls, name)] = sub
+
+
+class _Base:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, data: Mapping[str, Any]):
+        return _coerce(cls, data)
+
+    @classmethod
+    def from_json(cls, text: str):
+        return cls.from_dict(json.loads(text))
+
+
+@dataclass(frozen=True)
+class MeshConfig(_Base):
+    """Device-mesh layout: ('data', 'model') axes over the available chips."""
+
+    data: int = -1  # -1: fill with remaining devices
+    model: int = 1
+    axis_data: str = "data"
+    axis_model: str = "model"
+
+
+@dataclass(frozen=True)
+class EmbeddingConfig(_Base):
+    """Shared offset-encoded embedding id-space (reference: global
+    LabelEncoder+offset scheme, 2.FM/DataGenerator.py:76-89)."""
+
+    vocab_size: int = 0
+    dim: int = 8
+    # 'replicated' | 'row' (row-sharded over the model axis, all-to-all/psum
+    # lookup) | 'column' (dim-sharded)
+    sharding: str = "row"
+    dtype: str = "float32"
+    init_scale: float = 0.05
+    # L2 only over ids used in the batch (reference: 5.DIN/ModelManager.py:175-190)
+    used_id_l2: float = 0.0
+
+
+@dataclass(frozen=True)
+class OptimizerConfig(_Base):
+    name: str = "adam"
+    learning_rate: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-7  # keras Adam default epsilon (reference parity)
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 0.0  # 0 = off
+
+
+@dataclass(frozen=True)
+class EarlyStopConfig(_Base):
+    """Reference: EarlyStopper 'best'/'better' criteria (2.FM/Tools.py:56-99)."""
+
+    num_trials: int = 3
+    criterion: str = "best"  # 'best' | 'better'
+    mode: str = "max"
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Base):
+    batch_size: int = 512
+    epochs: int = 10
+    eval_every_steps: int = 0  # 0 = eval at epoch end only
+    log_every_steps: int = 100
+    shuffle_buffer: int = 100_000
+    seed: int = 0
+    # 'bce' | 'multi_task' | 'in_batch_softmax' | 'gsu_esu' | 'model_loss'
+    loss: str = "bce"
+    loss_weights: Sequence[float] = (1.0,)
+    # mixed precision for dense compute; embeddings/accumulators stay fp32
+    compute_dtype: str = "bfloat16"
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    early_stop: EarlyStopConfig = field(default_factory=EarlyStopConfig)
+    checkpoint_dir: str = ""
+    max_to_keep: int = 3
+    tensorboard_dir: str = ""
+
+
+@dataclass(frozen=True)
+class DataConfig(_Base):
+    path: str = ""
+    train_pattern: str = "train_*.tfrecord"
+    test_pattern: str = "test_*.tfrecord"
+    meta_file: str = "data_info.json"
+    max_seq_length: int = 0  # >0: padded behavior sequences
+    padding_index: int = 0
+
+
+@dataclass(frozen=True)
+class ModelConfig(_Base):
+    """One model instance = name + params dict (replaces the per-chapter
+    make_layer_choice registries, 2.FM/ModelManager.py:61-84)."""
+
+    name: str = "fm"
+    params: Mapping[str, Any] = field(default_factory=dict)
+    embedding: EmbeddingConfig = field(default_factory=EmbeddingConfig)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig(_Base):
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+_register_nested(TrainConfig, optimizer=OptimizerConfig, early_stop=EarlyStopConfig)
+_register_nested(ModelConfig, embedding=EmbeddingConfig)
+_register_nested(
+    ExperimentConfig,
+    model=ModelConfig,
+    train=TrainConfig,
+    data=DataConfig,
+    mesh=MeshConfig,
+)
