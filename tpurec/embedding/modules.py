@@ -1,0 +1,132 @@
+"""Flax embedding modules over the shared offset-encoded id space.
+
+One ``SharedEmbedding`` instance replaces the per-chapter
+``tf.keras.layers.Embedding(feature_values_cnt, dim)`` of the reference
+(e.g. 2.FM/CustomLayers.py:103-106): every categorical feature indexes the
+same table via its global offset id. Parameters carry mesh-axis partitioning
+metadata (rows over 'model') so the trainer can derive shardings with
+``nn.get_partition_spec``; lookup optionally routes through the explicit
+``shard_map`` path in tpurec.embedding.ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh
+
+from tpurec.core.mesh import MODEL_AXIS
+from tpurec.embedding.ops import pad_vocab, row_sharded_lookup
+
+
+def uniform_init(scale: float):
+    """Keras-Embedding-style RandomUniform(-scale, scale) (reference parity)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+class SharedEmbedding(nn.Module):
+    """(V, D) table, rows sharded over the 'model' mesh axis.
+
+    strategy:
+      'gspmd'     — plain take; XLA GSPMD partitions the gather from the
+                    param's sharding annotation (default)
+      'shard_map' — explicit mask+psum lookup (tpurec.embedding.ops); requires
+                    ``mesh``
+    """
+
+    vocab_size: int
+    dim: int
+    init_scale: float = 0.05
+    param_dtype: Any = jnp.float32
+    dtype: Optional[Any] = None  # output/compute dtype; None = param dtype
+    strategy: str = "gspmd"
+    mesh: Optional[Mesh] = None
+    name_suffix: str = ""
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        n_model = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
+        v_pad = pad_vocab(self.vocab_size, n_model)
+        table = self.param(
+            "embedding" + self.name_suffix,
+            nn.with_partitioning(uniform_init(self.init_scale), (MODEL_AXIS, None)),
+            (v_pad, self.dim),
+            self.param_dtype,
+        )
+        if self.strategy == "shard_map" and self.mesh is not None and n_model > 1:
+            out = row_sharded_lookup(table, ids, self.mesh)
+        else:
+            out = jnp.take(table, ids, axis=0)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return out
+
+
+class LinearEmbedding(nn.Module):
+    """(V, 1) order-1 weight table (the FM 'w-embedding',
+    2.FM/CustomLayers.py:103-117). Returns (..., ) scores (last dim squeezed)."""
+
+    vocab_size: int
+    init_scale: float = 0.05
+    param_dtype: Any = jnp.float32
+    dtype: Optional[Any] = None
+    mesh: Optional[Mesh] = None
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        emb = SharedEmbedding(
+            vocab_size=self.vocab_size,
+            dim=1,
+            init_scale=self.init_scale,
+            param_dtype=self.param_dtype,
+            dtype=self.dtype,
+            mesh=self.mesh,
+            name="w",
+        )(ids)
+        return jnp.squeeze(emb, axis=-1)
+
+
+class FieldAwareEmbedding(nn.Module):
+    """(V, F, D) field-aware table: one embedding per (id, target-field) pair,
+    the vectorized FFM/ONN layout (reference: one (values, fields, D) table at
+    2.FM/CustomLayers.py:428-462). Rows sharded over 'model'."""
+
+    vocab_size: int
+    num_fields: int
+    dim: int
+    init_scale: float = 0.05
+    param_dtype: Any = jnp.float32
+    dtype: Optional[Any] = None
+    mesh: Optional[Mesh] = None
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        n_model = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
+        v_pad = pad_vocab(self.vocab_size, n_model)
+        table = self.param(
+            "embedding",
+            nn.with_partitioning(uniform_init(self.init_scale), (MODEL_AXIS, None, None)),
+            (v_pad, self.num_fields, self.dim),
+            self.param_dtype,
+        )
+        out = jnp.take(table, ids, axis=0)  # (..., F, D)
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
+        return out
+
+
+def stack_features(inputs, names) -> jnp.ndarray:
+    """Stack scalar categorical features into one (B, F) id tensor.
+
+    Models consume a dict of per-feature (B,) int arrays (same contract as the
+    reference layers' input dicts, e.g. 2.FM/CustomLayers.py:127-133) and
+    stack the fields they use.
+    """
+    return jnp.stack([inputs[n].reshape(-1) for n in names], axis=1)

@@ -1,0 +1,95 @@
+"""Sharded embedding lookup primitives.
+
+The reference stores every embedding in a single-device
+``tf.keras.layers.Embedding`` (e.g. 2.FM/CustomLayers.py:103-106). Here tables
+are row-sharded over the mesh 'model' axis; lookup runs under ``shard_map``:
+
+    each model-shard owns rows [shard*V_local, (shard+1)*V_local)
+    1. ids are replicated over 'model' (batch stays sharded over 'data')
+    2. every shard gathers locally for the ids it owns, zeros elsewhere
+    3. one psum over 'model' assembles the full (B, F, D) activation
+
+The backward pass falls out of autodiff: psum^T = identity, masked-take^T =
+scatter-add into the local rows only — i.e. gradients land directly on the
+owning shard with no extra communication beyond the forward psum's transpose.
+
+For small-to-mid embedding dims (recsys: D = 8..128) the psum pattern beats an
+id all-to-all exchange on ICI because the exchanged activation is tiny and the
+whole thing fuses into one collective; an all-to-all variant only pays off for
+very wide rows. (Design per the scaling-book recipe: pick shardings, let XLA
+place collectives.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from tpurec.core.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def row_sharded_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    model_axis: str = MODEL_AXIS,
+    data_axis: Optional[str] = DATA_AXIS,
+) -> jnp.ndarray:
+    """Gather rows of a row-sharded (V, D) table for (..., ) int ids.
+
+    ``table`` must be sharded P(model_axis, None); ids batch-sharded on
+    ``data_axis`` (or replicated if data_axis is None). V must divide evenly
+    by the model-axis size (pad the table if needed).
+    """
+    n_model = mesh.shape[model_axis]
+    if table.shape[0] % n_model != 0:
+        raise ValueError(
+            f"vocab {table.shape[0]} not divisible by model axis {n_model}"
+        )
+    ids_spec = P(data_axis) if data_axis else P()
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(model_axis, None), ids_spec),
+        out_specs=ids_spec,
+        check_rep=False,
+    )
+    def _lookup(tbl, local_ids):
+        shard = jax.lax.axis_index(model_axis)
+        v_local = tbl.shape[0]
+        local = local_ids - shard * v_local
+        ok = (local >= 0) & (local < v_local)
+        emb = jnp.take(tbl, jnp.where(ok, local, 0), axis=0)
+        emb = jnp.where(ok[..., None], emb, jnp.zeros((), emb.dtype))
+        return jax.lax.psum(emb, model_axis)
+
+    return _lookup(table, ids)
+
+
+def used_id_l2(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """0.5 * sum of squared embedding rows over the *unique* ids in the batch.
+
+    Reference semantics: ``tf.unique`` + ``tf.gather`` + ``tf.nn.l2_loss``
+    (5.DIN/ModelManager.py:175-190) so regularization only touches embeddings
+    actually used this step. ``tf.unique`` is dynamic-shape; here duplicates
+    are masked after a sort so the op stays fixed-shape for XLA.
+    """
+    flat = jnp.sort(ids.reshape(-1))
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]]
+    )
+    rows = jnp.take(table, flat, axis=0)
+    sq = jnp.sum(rows * rows, axis=-1)
+    return 0.5 * jnp.sum(jnp.where(first, sq, 0.0))
+
+
+def pad_vocab(vocab_size: int, n_model: int, lane: int = 8) -> int:
+    """Round vocab up so row-sharding splits evenly and tiles cleanly."""
+    m = n_model * lane
+    return ((vocab_size + m - 1) // m) * m
