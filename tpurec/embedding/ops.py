@@ -58,7 +58,6 @@ def row_sharded_lookup(
         mesh=mesh,
         in_specs=(P(model_axis, None), ids_spec),
         out_specs=ids_spec,
-        check_rep=False,
     )
     def _lookup(tbl, local_ids):
         shard = jax.lax.axis_index(model_axis)
