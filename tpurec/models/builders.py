@@ -1,0 +1,90 @@
+"""Builder functions wiring registry names to model classes.
+
+Extended as each family lands; common params are filled from DataInfo so a
+config only needs to override what differs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from jax.sharding import Mesh
+
+from tpurec.data.schema import DataInfo
+from tpurec.models import fm as fm_models
+from tpurec.models import matrixcf as cf_models
+from tpurec.models.registry import register_model
+
+
+def _common(params: dict, info: DataInfo) -> dict:
+    out = dict(params)
+    out.setdefault("feature_names", list(info.feature_names))
+    out.setdefault("vocab_size", info.total_dims)
+    return out
+
+
+@register_model("matrixcf")
+def _matrixcf(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    p = dict(params)
+    p.pop("embed_dim", None) if "embed_dim" not in params else None
+    p.setdefault("vocab_size", info.total_dims)
+    return cf_models.MatrixCF(mesh=mesh, **p)
+
+
+@register_model("ncf")
+def _ncf(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    p = dict(params)
+    p.pop("embed_dim", None)
+    p.setdefault("vocab_size", info.total_dims)
+    return cf_models.NCF(mesh=mesh, **p)
+
+
+@register_model("fm")
+def _fm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.FM(mesh=mesh, **_common(params, info))
+
+
+@register_model("dssm_single")
+def _dssm_single(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.DSSMSingleRanking(mesh=mesh, **_common(params, info))
+
+
+@register_model("dssm_double")
+def _dssm_double(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    p = dict(params)
+    p.setdefault("user_features", list(info.user_features or info.feature_names[:2]))
+    p.setdefault("item_features", list(info.item_features or info.feature_names[2:]))
+    p.setdefault("vocab_size", info.total_dims)
+    return fm_models.DSSMTwoTowerRetrieval(mesh=mesh, **p)
+
+
+@register_model("deepfm")
+def _deepfm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.DeepFM(mesh=mesh, **_common(params, info))
+
+
+@register_model("wide_and_deep")
+def _wide_and_deep(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    p = _common(params, info)
+    p.setdefault("continuous_names", list(info.continuous_names))
+    return fm_models.WideAndDeep(mesh=mesh, **p)
+
+
+@register_model("ffm")
+def _ffm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.FFM(mesh=mesh, **_common(params, info))
+
+
+@register_model("fwfm")
+def _fwfm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.FwFM(mesh=mesh, **_common(params, info))
+
+
+@register_model("pnn")
+def _pnn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.PNN(mesh=mesh, **_common(params, info))
+
+
+@register_model("onn")
+def _onn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fm_models.ONN(mesh=mesh, **_common(params, info))
