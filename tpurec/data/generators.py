@@ -1,0 +1,260 @@
+"""Data generators: raw files → TFRecord shards + JSON metadata.
+
+Three families, mirroring the reference's pipelines (capability parity, same
+artifact contract — SURVEY §1-L1):
+
+- ``TabularDataGenerator``   — ch.2 e-commerce logs (2.FM/DataGenerator.py):
+  merge user/item/event tables, timestamp-percentile split, global
+  offset label-encoding, profiles, TFRecords + feature_dict/data_info/
+  user_profile/item_profile JSON.
+- ``ImpressionLogGenerator`` — ch.4 JSON impression logs with ctr/cvr labels
+  ('0$#0' Label format, 4.MMOE/DataGenerator.py:22-116) and derived
+  continuous features.
+- ``SequenceDataGenerator``  — ch.5 behavior sequences written as
+  fixed-length padded id lists (the reference pads at batch time via
+  padded_batch, 5.DIN/ModelManager.py:147-152; we pad at write time so
+  training batches have static shapes for XLA).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from tpurec.data.example_proto import encode_example
+from tpurec.data.recordio import ShardedTFRecordWriter
+from tpurec.data.schema import DataInfo, FeatureEncoder
+
+
+def _clean_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    for f in os.listdir(path):
+        fp = os.path.join(path, f)
+        if os.path.isfile(fp):
+            os.remove(fp)
+
+
+class TabularDataGenerator:
+    """Reference 2.FM pipeline (2.FM/DataGenerator.py:33-149)."""
+
+    def __init__(
+        self,
+        output_path: str,
+        item_path: str,
+        user_path: str,
+        main_path: str,
+        encode_columns: Sequence[str] = (
+            "user_tag1",
+            "user_tag2",
+            "item_tag1",
+            "item_tag2",
+            "item_tag3",
+        ),
+        user_feature_num: int = 2,
+        split_percentile: float = 80.0,
+        records_per_file: int = 200_000,
+    ):
+        self.output_path = output_path
+        self.item_path = item_path
+        self.user_path = user_path
+        self.main_path = main_path
+        self.encode_columns = list(encode_columns)
+        self.user_features = self.encode_columns[:user_feature_num]
+        self.item_features = self.encode_columns[user_feature_num:]
+        self.split_percentile = split_percentile
+        self.records_per_file = records_per_file
+        self.encoder = FeatureEncoder(self.encode_columns)
+        self.info: Optional[DataInfo] = None
+
+    def read_and_merge(self) -> pd.DataFrame:
+        df_item = pd.read_csv(
+            self.item_path, names=["item_id", "item_tag1", "item_tag2", "item_tag3"]
+        )
+        df_user = pd.read_csv(self.user_path, names=["user_id", "user_tag1", "user_tag2"])
+        df_main = pd.read_csv(
+            self.main_path, names=["timestamp", "user_id", "item_id", "label"]
+        )
+        df = df_main.merge(df_user, on="user_id", how="left").merge(
+            df_item, on="item_id", how="left"
+        )
+        df = df.dropna()  # reference keeps only complete records (:69)
+        threshold = np.percentile(df["timestamp"], self.split_percentile)
+        df = df.assign(
+            data_type=np.where(df["timestamp"] >= threshold, "test", "train")
+        )
+        self.df_user, self.df_item = df_user, df_item
+        return df
+
+    def run_all(self) -> DataInfo:
+        _clean_dir(self.output_path)
+        df = self.read_and_merge()
+        self.info = self.encoder.fit(
+            {c: df[c].tolist() for c in self.encode_columns}
+        )
+        self.info.label_names = ["label"]
+        self.info.user_features = list(self.user_features)
+        self.info.item_features = list(self.item_features)
+        # vectorized encode (reference does per-row python, :110-123)
+        encoded = {
+            c: df[c].astype(str).map(self.encoder.recorder[c]).to_numpy(np.int64)
+            for c in self.encode_columns
+        }
+        labels = df["label"].to_numpy(np.float32)
+        kinds = df["data_type"].to_numpy()
+        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
+            for k in range(len(df)):
+                feats = {c: [int(encoded[c][k])] for c in self.encode_columns}
+                feats["label"] = np.asarray([labels[k]], np.float32)
+                w.write(encode_example(feats), str(kinds[k]))
+        self._dump_profiles()
+        self.info.save(self.output_path)
+        self.encoder.save(self.output_path)
+        return self.info
+
+    def _dump_profiles(self) -> None:
+        user_profile = {
+            str(row[0]): [self.encoder.encode(c, v) for c, v in zip(self.user_features, row[1:])]
+            for row in self.df_user.values
+            if all(str(v) in self.encoder.recorder[c] for c, v in zip(self.user_features, row[1:]))
+        }
+        item_profile = {
+            str(row[0]): [self.encoder.encode(c, v) for c, v in zip(self.item_features, row[1:])]
+            for row in self.df_item.values
+            if all(str(v) in self.encoder.recorder[c] for c, v in zip(self.item_features, row[1:]))
+        }
+        with open(os.path.join(self.output_path, "user_profile.json"), "w") as f:
+            json.dump(user_profile, f)
+        with open(os.path.join(self.output_path, "item_profile.json"), "w") as f:
+            json.dump(item_profile, f)
+
+
+class ImpressionLogGenerator:
+    """Reference 4.MMOE pipeline: JSON-lines with nested features and a
+    '0$#0' ctr/cvr label; derived square/cube continuous features
+    (4.MMOE/DataGenerator.py:22-116)."""
+
+    def __init__(
+        self,
+        output_path: str,
+        log_path: str,
+        split_fraction: float = 0.8,
+        records_per_file: int = 200_000,
+        seed: int = 0,
+    ):
+        self.output_path = output_path
+        self.log_path = log_path
+        self.split_fraction = split_fraction
+        self.records_per_file = records_per_file
+        self.seed = seed
+        self.info: Optional[DataInfo] = None
+
+    def run_all(self) -> DataInfo:
+        _clean_dir(self.output_path)
+        records = [json.loads(line) for line in open(self.log_path)]
+        cat_names = sorted(records[0]["features"])
+        cont_names = sorted(records[0].get("continuous", {}))
+        encoder = FeatureEncoder(cat_names)
+        self.info = encoder.fit(
+            {c: [r["features"][c] for r in records] for c in cat_names}
+        )
+        derived = []
+        for c in cont_names:
+            derived += [c, f"{c}_sq", f"{c}_cube"]  # reference :114-116
+        self.info.continuous_names = derived
+        self.info.label_names = ["ctr", "cvr"]
+        rng = np.random.default_rng(self.seed)
+        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
+            for r in records:
+                ctr_s, cvr_s = r["Label"].split("$#")
+                feats: Dict[str, object] = {
+                    c: [encoder.encode(c, r["features"][c])] for c in cat_names
+                }
+                for c in cont_names:
+                    v = float(r["continuous"][c])
+                    feats[c] = np.asarray([v], np.float32)
+                    feats[f"{c}_sq"] = np.asarray([v * v], np.float32)
+                    feats[f"{c}_cube"] = np.asarray([v * v * v], np.float32)
+                feats["ctr"] = np.asarray([float(ctr_s)], np.float32)
+                feats["cvr"] = np.asarray([float(cvr_s)], np.float32)
+                kind = "train" if rng.random() < self.split_fraction else "test"
+                w.write(encode_example(feats), kind)
+        self.info.save(self.output_path)
+        encoder.save(self.output_path)
+        return self.info
+
+
+class SequenceDataGenerator:
+    """Reference 5.DIN pipeline: events with candidate item + click history.
+
+    Ids are offset-encoded into one id space (item ids, user tags, item tags
+    as separate blocks); histories are padded to ``max_seq_length`` with
+    padding id 0 — id 0 is reserved, so every real feature block starts at 1
+    (the reference reserves a padding_index the same way,
+    5.DIN/ModelManager.py:58-67).
+    """
+
+    def __init__(
+        self,
+        output_path: str,
+        events_path: str,
+        max_seq_length: int = 30,
+        split_fraction: float = 0.8,
+        records_per_file: int = 200_000,
+        seed: int = 0,
+    ):
+        self.output_path = output_path
+        self.events_path = events_path
+        self.max_seq_length = max_seq_length
+        self.split_fraction = split_fraction
+        self.records_per_file = records_per_file
+        self.seed = seed
+        self.info: Optional[DataInfo] = None
+
+    def run_all(self) -> DataInfo:
+        _clean_dir(self.output_path)
+        records = [json.loads(line) for line in open(self.events_path)]
+        # block layout: [pad=0 | item ids | user tags | item tags]
+        items = sorted({r["item_id"] for r in records} | {h for r in records for h in r["history"]})
+        user_tags = sorted({r["user_tag"] for r in records})
+        item_tags = sorted({r["item_tag"] for r in records})
+        item_map = {v: i + 1 for i, v in enumerate(items)}
+        ut_off = 1 + len(items)
+        ut_map = {v: i + ut_off for i, v in enumerate(user_tags)}
+        it_off = ut_off + len(user_tags)
+        it_map = {v: i + it_off for i, v in enumerate(item_tags)}
+        total = it_off + len(item_tags)
+        self.info = DataInfo(
+            feature_names=["item_id", "user_tag", "item_tag"],
+            feature_dims=[len(items), len(user_tags), len(item_tags)],
+            feature_offsets=[1, ut_off, it_off],
+            total_dims=total,
+            sequence_names=["history"],
+            label_names=["label"],
+            max_seq_length=self.max_seq_length,
+            padding_index=0,
+            user_features=["user_tag"],
+            item_features=["item_id", "item_tag"],
+        )
+        rng = np.random.default_rng(self.seed)
+        L = self.max_seq_length
+        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
+            for r in records:
+                hist = [item_map[h] for h in r["history"][-L:]]
+                hist = hist + [0] * (L - len(hist))
+                feats = {
+                    "item_id": [item_map[r["item_id"]]],
+                    "user_tag": [ut_map[r["user_tag"]]],
+                    "item_tag": [it_map[r["item_tag"]]],
+                    "history": np.asarray(hist, np.int64),
+                    "label": np.asarray([float(r["label"])], np.float32),
+                }
+                kind = "train" if rng.random() < self.split_fraction else "test"
+                w.write(encode_example(feats), kind)
+        self.info.save(self.output_path)
+        with open(os.path.join(self.output_path, "feature_dict.json"), "w") as f:
+            json.dump({"item_id": item_map, "user_tag": ut_map, "item_tag": it_map}, f)
+        return self.info

@@ -19,7 +19,7 @@ from flax import linen as nn
 from jax.sharding import Mesh
 
 from tpurec.core.mesh import MODEL_AXIS
-from tpurec.embedding.ops import pad_vocab, row_sharded_lookup
+from tpurec.embedding.ops import pad_vocab, row_sharded_lookup, used_id_l2
 
 
 def uniform_init(scale: float):
@@ -64,6 +64,17 @@ class SharedEmbedding(nn.Module):
             out = row_sharded_lookup(table, ids, self.mesh)
         else:
             out = jnp.take(table, ids, axis=0)
+        if self.is_mutable_collection("regularization"):
+            # per-batch used-id L2 (reference: 5.DIN/ModelManager.py:175-190);
+            # the trainer reads this collection and scales by the configured
+            # coefficient. Computed on the fp32 table.
+            self.sow(
+                "regularization",
+                "used_id_l2",
+                used_id_l2(jnp.asarray(table), ids),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=lambda a, b: a + b,
+            )
         if self.dtype is not None:
             out = out.astype(self.dtype)
         return out

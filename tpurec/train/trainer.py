@@ -1,0 +1,405 @@
+"""Unified training runtime.
+
+One trainer replaces the reference's 11 copy-evolved ModelManager.py files
+(SURVEY §1-L3, 2.FM/ModelManager.py:11-307): model build via the registry,
+jitted sharded train/eval steps, streaming metrics, early stopping, Orbax
+checkpointing with export-on-best, TensorBoard scalars, and inference — for
+every model family, selected purely by config.
+
+TPU design notes:
+- the whole step (forward, backward, optimizer, metric update) is one jit;
+  the reference's eager per-batch Python loop (2.FM/ModelManager.py:187-196)
+  becomes a single XLA program per step.
+- batches are placed with the ('data',)-sharding; embedding tables carry
+  ('model', None) partitioning metadata from tpurec.embedding, so GSPMD
+  inserts the psum/all-gather collectives.
+- dense compute runs in TrainConfig.compute_dtype (bfloat16 → MXU); params,
+  optimizer state and loss stay fp32.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+from tpurec.config import ExperimentConfig
+from tpurec.core.early_stop import EarlyStopper
+from tpurec.core.mesh import MeshContext, make_mesh
+from tpurec.core.metrics import AUC, Mean, MetricBundle
+from tpurec.core.summary import NullSummaryWriter, SummaryWriter
+from tpurec.data.schema import DataInfo
+from tpurec.models.registry import build_model
+from tpurec.train import checkpoint as ckpt_lib
+from tpurec.train.losses import add_auxiliary, get_loss
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    model_state: Dict[str, Any]  # batch_stats and other mutable collections
+    rng: jax.Array
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        info: DataInfo,
+        mesh_ctx: Optional[MeshContext] = None,
+        model: Optional[nn.Module] = None,
+    ):
+        self.config = config
+        self.info = info
+        self.mesh_ctx = mesh_ctx or make_mesh(config.mesh)
+        if model is None:
+            mc = config.model
+            params = dict(mc.params)
+            params.setdefault("dtype", _dtype_of(config.train.compute_dtype))
+            mc = mc.replace(params=params)
+            model = build_model(mc, info, self.mesh_ctx.mesh)
+        self.model = model
+        self.loss_fn = get_loss(config.train.loss)
+        self.tx = self._make_optimizer()
+        self.metrics = self._make_metrics()
+        self._train_step = None
+        self._eval_step = None
+        self.ckpt = (
+            ckpt_lib.CheckpointManager(config.train.checkpoint_dir, config.train.max_to_keep)
+            if config.train.checkpoint_dir
+            else None
+        )
+
+    # ------------------------------------------------------------------ setup
+    def _make_optimizer(self) -> optax.GradientTransformation:
+        oc = self.config.train.optimizer
+        chain = []
+        if oc.grad_clip_norm > 0:
+            chain.append(optax.clip_by_global_norm(oc.grad_clip_norm))
+        if oc.name == "adam":
+            chain.append(optax.adam(oc.learning_rate, b1=oc.b1, b2=oc.b2, eps=oc.eps))
+        elif oc.name == "adamw":
+            chain.append(
+                optax.adamw(
+                    oc.learning_rate, b1=oc.b1, b2=oc.b2, eps=oc.eps,
+                    weight_decay=oc.weight_decay,
+                )
+            )
+        elif oc.name == "sgd":
+            chain.append(optax.sgd(oc.learning_rate))
+        else:
+            raise KeyError(f"unknown optimizer {oc.name!r}")
+        return optax.chain(*chain)
+
+    def _make_metrics(self) -> MetricBundle:
+        loss_name = self.config.train.loss
+        metrics: Dict[str, Any] = {"loss": Mean()}
+        if loss_name in ("bce", "gsu_esu"):
+            metrics["auc"] = AUC()
+        elif loss_name == "multi_task":
+            metrics["ctr_auc"] = AUC()
+            metrics["cvr_auc"] = AUC()
+        elif loss_name == "in_batch_softmax":
+            metrics["accuracy"] = Mean()
+        return metrics and MetricBundle(metrics)
+
+    def _metric_updates(self, outputs, batch) -> Dict[str, tuple]:
+        loss_name = self.config.train.loss
+        upd: Dict[str, tuple] = {}
+        if loss_name == "bce":
+            upd["auc"] = (batch["label"].reshape(-1), outputs["output"].reshape(-1))
+        elif loss_name == "gsu_esu":
+            # AUC from the ESU positive-class probability (reference
+            # 7.SIM/ModelManager.py eval loop)
+            p = jax.nn.softmax(outputs["esu_logits"].astype(jnp.float32), axis=-1)[:, 1]
+            upd["auc"] = (batch["label"].reshape(-1), p)
+        elif loss_name == "multi_task":
+            upd["ctr_auc"] = (batch["ctr"].reshape(-1), outputs["ctr_output"].reshape(-1))
+            cvr_out = outputs.get("ctcvr_output", outputs.get("cvr_output"))
+            upd["cvr_auc"] = (batch["cvr"].reshape(-1), cvr_out.reshape(-1))
+        elif loss_name == "in_batch_softmax":
+            if "logits" in outputs:
+                logits = outputs["logits"]
+                hit = (jnp.argmax(logits, axis=-1) == 0).astype(jnp.float32)
+            else:
+                u = outputs["user_embedding"].astype(jnp.float32)
+                v = outputs["item_embedding"].astype(jnp.float32)
+                logits = u @ v.T
+                hit = (jnp.argmax(logits, axis=-1) == jnp.arange(logits.shape[0])).astype(
+                    jnp.float32
+                )
+            upd["accuracy"] = (hit,)
+        return upd
+
+    # ------------------------------------------------------------- state init
+    def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None) -> TrainState:
+        seed = self.config.train.seed if seed is None else seed
+        rng = jax.random.key(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        batch = self.device_batch(sample_batch)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, batch, train=False
+        )
+        variables = nn.unbox(variables)
+        params = variables.pop("params")
+        model_state = dict(variables)
+        model_state.pop("regularization", None)
+        opt_state = self.tx.init(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            model_state=model_state,
+            rng=state_rng,
+        )
+
+    def device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host → device with the batch dim sharded over 'data' (replicated
+        fallback when the batch doesn't divide the data axis, e.g. tiny
+        ad-hoc inference batches)."""
+        n = len(next(iter(batch.values())))
+        sharding = (
+            self.mesh_ctx.batch if n % self.mesh_ctx.n_data == 0 else self.mesh_ctx.replicated
+        )
+        return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+    # ------------------------------------------------------------------ steps
+    def _build_train_step(self) -> Callable:
+        model = self.model
+        tx = self.tx
+        loss_fn = self.loss_fn
+        metrics = self.metrics
+        l2_coeff = self.config.model.embedding.used_id_l2
+        mutable = ["batch_stats", "regularization"]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, metric_state):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+
+            def compute_loss(params):
+                variables = {"params": params, **state.model_state}
+                outputs, mut = model.apply(
+                    variables,
+                    batch,
+                    train=True,
+                    mutable=mutable,
+                    rngs={"dropout": step_rng},
+                )
+                loss, logs = loss_fn(outputs, batch)
+                loss, aux_logs = add_auxiliary(loss, outputs)
+                logs.update(aux_logs)
+                if l2_coeff > 0 and "regularization" in mut:
+                    reg = sum(
+                        jnp.sum(x) for x in jax.tree.leaves(mut["regularization"])
+                    )
+                    loss = loss + l2_coeff * reg
+                    logs["used_id_l2"] = reg
+                new_model_state = {
+                    k: v for k, v in mut.items() if k != "regularization"
+                }
+                return loss, (outputs, new_model_state, logs)
+
+            (loss, (outputs, new_model_state, logs)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            model_state = {**state.model_state, **new_model_state}
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                model_state=model_state,
+                rng=state.rng,
+            )
+            metric_state = metrics.update(
+                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+            )
+            return new_state, metric_state, logs | {"loss": loss}
+
+        return train_step
+
+    def _build_eval_step(self) -> Callable:
+        model = self.model
+        loss_fn = self.loss_fn
+        metrics = self.metrics
+
+        @jax.jit
+        def eval_step(state: TrainState, batch, metric_state):
+            variables = {"params": state.params, **state.model_state}
+            outputs = model.apply(variables, batch, train=False)
+            loss, _ = loss_fn(outputs, batch)
+            loss, _ = add_auxiliary(loss, outputs)
+            return metrics.update(
+                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+            )
+
+        return eval_step
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step
+
+    # ------------------------------------------------------------------ loops
+    def train_epoch(
+        self,
+        state: TrainState,
+        batches: Iterable[Dict[str, np.ndarray]],
+        writer=None,
+        epoch: int = 0,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        writer = writer or NullSummaryWriter()
+        metric_state = self.metrics.init()
+        log_every = self.config.train.log_every_steps
+        t0 = time.time()
+        n = 0
+        for batch in batches:
+            n += 1
+            batch = self.device_batch(batch)
+            state, metric_state, logs = self.train_step(state, batch, metric_state)
+            if log_every and n % log_every == 0:
+                results = {k: float(v) for k, v in self.metrics.result(metric_state).items()}
+                step = int(state.step)
+                for k, v in results.items():
+                    writer.scalar(f"train/{k}", v, step)
+                rate = n * next(iter(batch.values())).shape[0] / (time.time() - t0)
+                print(
+                    f"epoch {epoch} step {step}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in results.items())
+                    + f" ({rate:.0f} ex/s)"
+                )
+        results = {k: float(v) for k, v in self.metrics.result(metric_state).items()}
+        return state, results
+
+    def evaluate(
+        self, state: TrainState, batches: Iterable[Dict[str, np.ndarray]]
+    ) -> Dict[str, float]:
+        metric_state = self.metrics.init()
+        for batch in batches:
+            batch = self.device_batch(batch)
+            metric_state = self.eval_step(state, batch, metric_state)
+        return {k: float(v) for k, v in self.metrics.result(metric_state).items()}
+
+    def _selection_metric(self, eval_results: Dict[str, float]) -> float:
+        """The early-stop / keep-best criterion: AUC for ranking, mean AUC for
+        multi-task (reference 4.MMOE/ModelManager.py:285-293), −loss otherwise."""
+        if "auc" in eval_results:
+            return eval_results["auc"]
+        aucs = [v for k, v in eval_results.items() if k.endswith("auc")]
+        if aucs:
+            return float(np.mean(aucs))
+        return -eval_results["loss"]
+
+    def run(
+        self,
+        train_data: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        eval_data: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        state: Optional[TrainState] = None,
+        restore: bool = False,
+    ) -> Tuple[TrainState, Dict[str, Any]]:
+        """train_and_eval with early stopping + export-on-best
+        (reference run loop, 2.FM/ModelManager.py:244-284)."""
+        cfg = self.config.train
+        if state is None:
+            first = next(iter(train_data()))
+            state = self.init_state(first)
+        if restore and self.ckpt is not None and self.ckpt.latest_step() is not None:
+            state = self.restore(state)
+        writer = SummaryWriter(cfg.tensorboard_dir) if cfg.tensorboard_dir else NullSummaryWriter()
+        stopper = EarlyStopper(
+            num_trials=cfg.early_stop.num_trials,
+            criterion=cfg.early_stop.criterion,
+            mode=cfg.early_stop.mode,
+        )
+        history = []
+        best_eval: Dict[str, float] = {}
+        for epoch in range(cfg.epochs):
+            state, train_results = self.train_epoch(state, train_data(), writer, epoch)
+            eval_results = self.evaluate(state, eval_data())
+            for k, v in eval_results.items():
+                writer.scalar(f"eval/{k}", v, int(state.step))
+            writer.flush()
+            history.append({"epoch": epoch, "train": train_results, "eval": eval_results})
+            print(f"epoch {epoch} eval: " + " ".join(f"{k}={v:.4f}" for k, v in eval_results.items()))
+            metric = self._selection_metric(eval_results)
+            cont = stopper.is_continuable(metric)
+            if stopper.is_new_best:
+                best_eval = eval_results
+                if self.ckpt is not None:
+                    self.save(state)
+            if not cont:
+                break
+        writer.close()
+        best_epoch, metric_history = stopper.check_record()
+        return state, {
+            "history": history,
+            "best_epoch": best_epoch,
+            "best_eval": best_eval,
+            "metric_history": metric_history,
+        }
+
+    # ------------------------------------------------------------- ckpt/infer
+    def save(self, state: TrainState) -> None:
+        tree = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "model_state": state.model_state,
+        }
+        self.ckpt.save(int(state.step), tree)
+
+    def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
+        tree = {
+            "step": state_like.step,
+            "params": state_like.params,
+            "opt_state": state_like.opt_state,
+            "model_state": state_like.model_state,
+        }
+        restored = self.ckpt.restore(tree, step)
+        return TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            model_state=restored["model_state"],
+            rng=state_like.rng,
+        )
+
+    def export(self, state: TrainState, directory: str) -> None:
+        ckpt_lib.export_params(
+            directory,
+            {"params": state.params, "model_state": state.model_state},
+            meta={
+                "model": self.config.model.name,
+                "model_params": {
+                    k: v for k, v in self.config.model.params.items() if k != "dtype"
+                },
+                "embedding": self.config.model.embedding.to_dict(),
+            },
+        )
+
+    def infer(self, state: TrainState, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        variables = {"params": state.params, **state.model_state}
+        batch = self.device_batch(batch)
+        outputs = jax.jit(partial(self.model.apply, train=False))(variables, batch)
+        return jax.device_get(outputs)
