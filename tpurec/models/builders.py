@@ -11,6 +11,7 @@ from typing import Optional
 from jax.sharding import Mesh
 
 from tpurec.data.schema import DataInfo
+from tpurec.models import dcn as dcn_models
 from tpurec.models import fm as fm_models
 from tpurec.models import matrixcf as cf_models
 from tpurec.models.registry import register_model
@@ -20,6 +21,12 @@ def _common(params: dict, info: DataInfo) -> dict:
     out = dict(params)
     out.setdefault("feature_names", list(info.feature_names))
     out.setdefault("vocab_size", info.total_dims)
+    return out
+
+
+def _with_continuous(params: dict, info: DataInfo) -> dict:
+    out = _common(params, info)
+    out.setdefault("continuous_names", list(info.continuous_names))
     return out
 
 
@@ -88,3 +95,54 @@ def _pnn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("onn")
 def _onn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return fm_models.ONN(mesh=mesh, **_common(params, info))
+
+
+# ----------------------------------------------------------------- DCN family
+@register_model("dcn")
+def _dcn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.DCN(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("xdeepfm")
+def _xdeepfm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.XDeepFM(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("nfm")
+def _nfm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.NFM(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("deep_crossing")
+def _deep_crossing(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.DeepCrossing(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("fnn")
+def _fnn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.FNN(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("ccpm")
+def _ccpm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.CCPMModel(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("fgcnn")
+def _fgcnn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.FGCNNModel(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("afm")
+def _afm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.AFM(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("fibinet")
+def _fibinet(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.FiBiNet(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("autoint")
+def _autoint(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dcn_models.AutoInt(mesh=mesh, **_with_continuous(params, info))
