@@ -121,6 +121,9 @@ class TrainConfig(_Base):
     # 'bce' | 'multi_task' | 'in_batch_softmax' | 'gsu_esu' | 'model_loss'
     loss: str = "bce"
     loss_weights: Sequence[float] = (1.0,)
+    # override the default metric set for the loss, e.g. ('ctr_auc','cvr_auc')
+    # for model_loss multi-task models (ESCM2/FDN)
+    metrics: Sequence[str] = ()
     # mixed precision for dense compute; embeddings/accumulators stay fp32
     compute_dtype: str = "bfloat16"
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)

@@ -79,7 +79,8 @@ def make_impression_log_raw(
     n_cat: int = 6,
     cat_cardinality: int = 25,
     n_continuous: int = 3,
-    signal: float = 3.0,
+    signal: float = 8.0,  # oracle CTR-AUC ≈ 0.9; reference 4.MMOE data is
+    # similarly strong (BASELINE.md: ctr 0.9767 / cvr 0.9582)
     seed: int = 0,
 ) -> str:
     """Chapter-4-style JSON-lines impression log with nested feature records

@@ -13,6 +13,7 @@ from jax.sharding import Mesh
 from tpurec.data.schema import DataInfo
 from tpurec.models import dcn as dcn_models
 from tpurec.models import fm as fm_models
+from tpurec.models import multitask as mt_models
 from tpurec.models import matrixcf as cf_models
 from tpurec.models.registry import register_model
 
@@ -146,3 +147,34 @@ def _fibinet(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("autoint")
 def _autoint(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return dcn_models.AutoInt(mesh=mesh, **_with_continuous(params, info))
+
+
+# ----------------------------------------------------------- multi-task stack
+@register_model("mmoe")
+def _mmoe(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.MMOE(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("esmm")
+def _esmm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.ESMM(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("ple")
+def _ple(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.PLE(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("esm2")
+def _esm2(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.ESM2(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("escm2")
+def _escm2(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.ESCM2(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("fdn")
+def _fdn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mt_models.FDN(mesh=mesh, **_with_continuous(params, info))

@@ -107,18 +107,34 @@ class Trainer:
     def _make_metrics(self) -> MetricBundle:
         loss_name = self.config.train.loss
         metrics: Dict[str, Any] = {"loss": Mean()}
-        if loss_name in ("bce", "gsu_esu"):
-            metrics["auc"] = AUC()
-        elif loss_name == "multi_task":
-            metrics["ctr_auc"] = AUC()
-            metrics["cvr_auc"] = AUC()
-        elif loss_name == "in_batch_softmax":
-            metrics["accuracy"] = Mean()
-        return metrics and MetricBundle(metrics)
+        names = self.config.train.metrics
+        if not names:
+            names = {
+                "bce": ("auc",),
+                "gsu_esu": ("auc",),
+                "multi_task": ("ctr_auc", "cvr_auc"),
+                "in_batch_softmax": ("accuracy",),
+                "model_loss": (),
+            }[loss_name]
+        for n in names:
+            metrics[n] = Mean() if n == "accuracy" else AUC()
+        return MetricBundle(metrics)
 
     def _metric_updates(self, outputs, batch) -> Dict[str, tuple]:
         loss_name = self.config.train.loss
         upd: Dict[str, tuple] = {}
+        configured = set(self.metrics.metrics) - {"loss"}
+        if loss_name == "model_loss":
+            # model computes its own loss; AUCs tracked for whatever task
+            # outputs it exposes and the config requested
+            if "ctr_auc" in configured and "ctr_output" in outputs:
+                upd["ctr_auc"] = (batch["ctr"].reshape(-1), outputs["ctr_output"].reshape(-1))
+            if "cvr_auc" in configured and ("cvr_output" in outputs or "ctcvr_output" in outputs):
+                cvr_out = outputs.get("ctcvr_output", outputs.get("cvr_output"))
+                upd["cvr_auc"] = (batch["cvr"].reshape(-1), cvr_out.reshape(-1))
+            if "auc" in configured and "output" in outputs:
+                upd["auc"] = (batch["label"].reshape(-1), outputs["output"].reshape(-1))
+            return upd
         if loss_name == "bce":
             upd["auc"] = (batch["label"].reshape(-1), outputs["output"].reshape(-1))
         elif loss_name == "gsu_esu":
