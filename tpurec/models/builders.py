@@ -12,6 +12,7 @@ from jax.sharding import Mesh
 
 from tpurec.data.schema import DataInfo
 from tpurec.models import dcn as dcn_models
+from tpurec.models import din as din_models
 from tpurec.models import fm as fm_models
 from tpurec.models import multitask as mt_models
 from tpurec.models import matrixcf as cf_models
@@ -178,3 +179,29 @@ def _escm2(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("fdn")
 def _fdn(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return mt_models.FDN(mesh=mesh, **_with_continuous(params, info))
+
+
+# ------------------------------------------------------------- sequence stack
+def _seq_params(params: dict, info: DataInfo) -> dict:
+    out = dict(params)
+    out.setdefault("user_features", list(info.user_features))
+    out.setdefault("item_features", list(info.item_features))
+    out.setdefault("sequence_features", list(info.sequence_names))
+    out.setdefault("vocab_size", info.total_dims)
+    out.setdefault("padding_index", info.padding_index)
+    return out
+
+
+@register_model("din")
+def _din(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return din_models.DIN(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("dien")
+def _dien(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return din_models.DIEN(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("dsin")
+def _dsin(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return din_models.DSIN(mesh=mesh, **_seq_params(params, info))
