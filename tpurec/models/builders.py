@@ -14,6 +14,7 @@ from tpurec.data.schema import DataInfo
 from tpurec.models import dcn as dcn_models
 from tpurec.models import din as din_models
 from tpurec.models import fm as fm_models
+from tpurec.models import mind as mind_models
 from tpurec.models import multitask as mt_models
 from tpurec.models import matrixcf as cf_models
 from tpurec.models.registry import register_model
@@ -205,3 +206,33 @@ def _dien(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("dsin")
 def _dsin(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return din_models.DSIN(mesh=mesh, **_seq_params(params, info))
+
+
+# --------------------------------------------------- multi-interest retrieval
+def _retrieval_params(params: dict, info: DataInfo) -> dict:
+    out = dict(params)
+    out.setdefault("user_features", list(info.user_features))
+    out.setdefault("sequence_features", list(info.sequence_names))
+    out.setdefault("vocab_size", info.total_dims)
+    out.setdefault("padding_index", info.padding_index)
+    return out
+
+
+@register_model("mind")
+def _mind(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mind_models.MIND(mesh=mesh, **_retrieval_params(params, info))
+
+
+@register_model("sdm")
+def _sdm(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mind_models.SDM(mesh=mesh, **_retrieval_params(params, info))
+
+
+@register_model("comirec")
+def _comirec(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mind_models.ComiRec(mesh=mesh, **_retrieval_params(params, info))
+
+
+@register_model("sine")
+def _sine(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return mind_models.SINE(mesh=mesh, **_retrieval_params(params, info))
