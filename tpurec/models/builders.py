@@ -16,6 +16,7 @@ from tpurec.models import din as din_models
 from tpurec.models import fm as fm_models
 from tpurec.models import mind as mind_models
 from tpurec.models import multitask as mt_models
+from tpurec.models import sim as sim_models
 from tpurec.models import matrixcf as cf_models
 from tpurec.models.registry import register_model
 
@@ -236,3 +237,19 @@ def _comirec(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("sine")
 def _sine(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return mind_models.SINE(mesh=mesh, **_retrieval_params(params, info))
+
+
+# ------------------------------------------------------ long-sequence ranking
+@register_model("sim")
+def _sim(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return sim_models.SIM(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("can")
+def _can(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return sim_models.CAN(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("eta")
+def _eta(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return sim_models.ETA(mesh=mesh, **_seq_params(params, info))

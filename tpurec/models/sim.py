@@ -1,0 +1,263 @@
+"""Long-sequence ranking, stage-one/stage-two cascades: SIM, CAN, ETA
+(chapter 7 of the reference, 7.SIM/CustomLayers.py).
+
+Output contract (reference shared ModelManager, SURVEY §2.7): two 2-class
+logit heads ``gsu_logits`` / ``esu_logits``; training uses
+loss='gsu_esu' (0.2/0.8 softmax CE), AUC from the ESU positive-class prob.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.sharding import Mesh
+
+from tpurec.embedding.modules import SharedEmbedding
+from tpurec.models.base import Inputs, Outputs, sequence_mask, stack_ids
+from tpurec.ops.attention import DinTargetAttention, MultiHeadAttention
+from tpurec.ops.hashing import (
+    gather_steps,
+    hamming_similarity,
+    simhash_bits,
+    topk_select,
+)
+from tpurec.ops.mlp import MLP
+from tpurec.ops.sequence import MaskedGRU
+
+
+class _LongSeqBase(nn.Module):
+    user_features: Sequence[str]
+    item_features: Sequence[str]
+    sequence_features: Sequence[str]
+    query_features: Sequence[str] = ("item_id",)
+    vocab_size: int = 0
+    embed_dim: int = 8
+    hidden_dims: Sequence[int] = (64, 32)
+    padding_index: int = 0
+    dtype: Optional[Any] = None
+    mesh: Optional[Mesh] = None
+
+    def _embedding(self):
+        return SharedEmbedding(
+            self.vocab_size, self.embed_dim, dtype=self.dtype, mesh=self.mesh, name="emb"
+        )
+
+    def _profile(self, emb, inputs):
+        names = list(self.user_features) + list(self.item_features)
+        e = emb(stack_ids(inputs, names))
+        return e.reshape(e.shape[0], -1)
+
+    def _query(self, emb, inputs):
+        e = emb(stack_ids(inputs, list(self.query_features)))
+        return e.reshape(e.shape[0], -1)
+
+    def _keys(self, emb, inputs):
+        seq = inputs[self.sequence_features[0]]
+        return emb(seq), sequence_mask(seq, self.padding_index)
+
+    def _two_class_head(self, x, name, train):
+        h = MLP(self.hidden_dims, dtype=self.dtype, name=f"{name}_mlp")(x, train=train)
+        return nn.Dense(2, dtype=self.dtype, name=f"{name}_head")(h).astype(jnp.float32)
+
+
+class SIM(_LongSeqBase):
+    """Search-based interest model (reference SIMLayer,
+    7.SIM/CustomLayers.py:203-282):
+
+    GSU — general search unit: inner-product attention pool over the FULL
+    sequence (:88-95) → gsu_logits; its scores drive a top-k soft search
+    (:236-260) selecting the sub-sequence.
+    ESU — exact search unit: recurrent trunk + target MHA over the retrieved
+    sub-sequence (:130-201) → esu_logits.
+    """
+
+    topk: int = 16
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
+        emb = self._embedding()
+        profile = self._profile(emb, inputs)
+        query = self._query(emb, inputs)
+        keys, mask = self._keys(emb, inputs)
+        d = keys.shape[-1]
+        # ---- GSU: inner-product attention over the full sequence
+        scores = jnp.einsum(
+            "bld,bd->bl", keys.astype(jnp.float32), query.astype(jnp.float32)
+        )
+        w = jax.nn.softmax(jnp.where(mask.astype(bool), scores, -1e9), axis=-1)
+        w = w * (jnp.sum(mask, -1, keepdims=True) > 0)
+        gsu_pool = jnp.einsum("bl,bld->bd", w.astype(keys.dtype), keys)
+        gsu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, gsu_pool, query * gsu_pool], -1),
+            "gsu",
+            train,
+        )
+        # ---- soft search: top-k steps by the GSU scores
+        top_idx, top_mask = topk_select(scores, mask, min(self.topk, keys.shape[1]))
+        sub = gather_steps(keys, top_idx)
+        sub_mask = top_mask
+        # ---- ESU: recurrence + target MHA over the retrieved sub-sequence
+        states = MaskedGRU(d, dtype=self.dtype, name="esu_rnn")(sub, sub_mask)
+        att = MultiHeadAttention(
+            self.num_heads, max(1, d // self.num_heads), dtype=self.dtype, name="esu_mha"
+        )(query[:, None, :], kv=states, mask=sub_mask, train=train)[:, 0]
+        esu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, att, query * att], -1), "esu", train
+        )
+        p = jax.nn.softmax(esu_logits, axis=-1)[:, 1]
+        return {
+            "gsu_logits": gsu_logits,
+            "esu_logits": esu_logits,
+            "output": p,
+            "topk_indices": top_idx,
+        }
+
+
+class CoActionUnit(nn.Module):
+    """CAN co-action: the induction feature's embedding IS the weight tensor
+    of a micro-MLP applied to the feed feature (reference CoActionUnit,
+    7.SIM/CustomLayers.py:285-378; W/B slicing :313-327, orders :355).
+
+    The induction embedding (dim = Σ_l (in_l·out_l + out_l)) is sliced into
+    per-sample weights/biases; the feed features (and their element-wise
+    powers up to ``orders``) pass through the micro-MLP.
+    """
+
+    layer_dims: Sequence[int] = (4, 4)  # micro-MLP widths
+    orders: int = 2
+
+    @nn.compact
+    def __call__(
+        self,
+        induction: jnp.ndarray,  # (B, W) packed micro-MLP params
+        feed: jnp.ndarray,  # (B, L, D) feed features
+        mask: Optional[jnp.ndarray] = None,  # (B, L)
+    ) -> jnp.ndarray:
+        b, l, d = feed.shape
+        outs = []
+        for order in range(1, self.orders + 1):
+            x = jnp.power(feed, order)
+            offset = 0
+            in_dim = d
+            for width in self.layer_dims:
+                w = induction[:, offset : offset + in_dim * width].reshape(b, in_dim, width)
+                offset += in_dim * width
+                bias = induction[:, offset : offset + width]
+                offset += width
+                x = jnp.tanh(
+                    jnp.einsum("bld,bdw->blw", x, w.astype(x.dtype))
+                    + bias[:, None, :].astype(x.dtype)
+                )
+                in_dim = width
+            if mask is not None:
+                x = x * mask[..., None].astype(x.dtype)
+            outs.append(jnp.sum(x, axis=1))  # sum-pool over the sequence
+        return jnp.concatenate(outs, axis=-1)
+
+    @staticmethod
+    def packed_dim(feed_dim: int, layer_dims: Sequence[int]) -> int:
+        total = 0
+        in_dim = feed_dim
+        for width in layer_dims:
+            total += in_dim * width + width
+            in_dim = width
+        return total
+
+
+class CAN(_LongSeqBase):
+    """Co-action network (reference CANLayer, 7.SIM/CustomLayers.py:381-450):
+    base sequential trunk (gsu head) + per-field co-action features where the
+    candidate item's induction embedding parameterizes micro-MLPs over the
+    behavior sequence (esu head)."""
+
+    co_layer_dims: Sequence[int] = (4, 4)
+    co_orders: int = 2
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
+        emb = self._embedding()
+        profile = self._profile(emb, inputs)
+        query = self._query(emb, inputs)
+        keys, mask = self._keys(emb, inputs)
+        d = keys.shape[-1]
+        # base trunk: GRU + mean pool → gsu head
+        states = MaskedGRU(d, dtype=self.dtype, name="trunk_rnn")(keys, mask)
+        w_mask = mask[..., None].astype(states.dtype)
+        pooled = jnp.sum(states * w_mask, 1) / jnp.maximum(jnp.sum(w_mask, 1), 1.0)
+        gsu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, pooled], -1), "gsu", train
+        )
+        # co-action: separate induction embedding table for the candidate ids
+        packed = CoActionUnit.packed_dim(d, self.co_layer_dims)
+        induction = SharedEmbedding(
+            self.vocab_size, packed, dtype=self.dtype, mesh=self.mesh, name="induction_emb"
+        )(inputs[self.query_features[0]].reshape(-1))
+        co = CoActionUnit(
+            layer_dims=tuple(self.co_layer_dims), orders=self.co_orders, name="coaction"
+        )(induction, keys, mask)
+        esu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, pooled, co], -1), "esu", train
+        )
+        return {
+            "gsu_logits": gsu_logits,
+            "esu_logits": esu_logits,
+            "output": jax.nn.softmax(esu_logits, -1)[:, 1],
+        }
+
+
+class ETA(_LongSeqBase):
+    """End-to-end target attention (reference ETALayer,
+    7.SIM/CustomLayers.py:518-626): SimHash codes via sign projections, top-k
+    long-term retrieval by Hamming similarity (:556-582), MHA for short- and
+    long-term interest. The hash projection is a fixed (non-trainable) random
+    matrix so codes stay stable end-to-end."""
+
+    topk: int = 16
+    short_len: int = 8
+    n_hash_bits: int = 16
+    num_heads: int = 2
+
+    @nn.compact
+    def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
+        emb = self._embedding()
+        profile = self._profile(emb, inputs)
+        query = self._query(emb, inputs)
+        keys, mask = self._keys(emb, inputs)
+        b, l, d = keys.shape
+        proj = self.variable(
+            "constants",
+            "hash_proj",
+            lambda: jax.random.normal(jax.random.key(3), (d, self.n_hash_bits), jnp.float32),
+        ).value
+        # long-term: Hamming top-k retrieval against the candidate's code
+        q_bits = simhash_bits(query.astype(jnp.float32), proj)
+        k_bits = simhash_bits(keys.astype(jnp.float32), proj)
+        sim = hamming_similarity(q_bits, k_bits).astype(jnp.float32)
+        top_idx, top_mask = topk_select(sim, mask, min(self.topk, l))
+        sub = gather_steps(keys, top_idx)
+        long_att = MultiHeadAttention(
+            self.num_heads, max(1, d // self.num_heads), dtype=self.dtype, name="long_mha"
+        )(query[:, None, :], kv=sub, mask=top_mask, train=train)[:, 0]
+        gsu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, long_att], -1), "gsu", train
+        )
+        # short-term: MHA over the most recent valid steps
+        idx = jnp.arange(l)[None, :]
+        lengths = jnp.sum(mask, -1, keepdims=True)
+        short_mask = mask * (idx >= lengths - self.short_len).astype(mask.dtype)
+        short_att = MultiHeadAttention(
+            self.num_heads, max(1, d // self.num_heads), dtype=self.dtype, name="short_mha"
+        )(query[:, None, :], kv=keys, mask=short_mask, train=train)[:, 0]
+        esu_logits = self._two_class_head(
+            jnp.concatenate([profile, query, long_att, short_att], -1), "esu", train
+        )
+        return {
+            "gsu_logits": gsu_logits,
+            "esu_logits": esu_logits,
+            "output": jax.nn.softmax(esu_logits, -1)[:, 1],
+            "topk_indices": top_idx,
+        }
