@@ -13,6 +13,9 @@ from jax.sharding import Mesh
 from tpurec.data.schema import DataInfo
 from tpurec.models import dcn as dcn_models
 from tpurec.models import din as din_models
+from tpurec.models import dmr as dmr_models
+from tpurec.models import fibinetpp as fpp_models
+from tpurec.models import poso as poso_models
 from tpurec.models import fm as fm_models
 from tpurec.models import mind as mind_models
 from tpurec.models import multitask as mt_models
@@ -253,3 +256,61 @@ def _can(params: dict, info: DataInfo, mesh: Optional[Mesh]):
 @register_model("eta")
 def _eta(params: dict, info: DataInfo, mesh: Optional[Mesh]):
     return sim_models.ETA(mesh=mesh, **_seq_params(params, info))
+
+
+# ----------------------------------------------------------------- DMR family
+@register_model("dmr")
+def _dmr(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dmr_models.DMR(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("dmt")
+def _dmt(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dmr_models.DMT(mesh=mesh, **_seq_params(params, info))
+
+
+@register_model("finalmlp")
+def _finalmlp(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dmr_models.FinalMLP(mesh=mesh, **_common(params, info))
+
+
+@register_model("sdim")
+def _sdim(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return dmr_models.SDIM(mesh=mesh, **_seq_params(params, info))
+
+
+# -------------------------------------------------- personalization gates (10)
+@register_model("poso_mlp")
+def _poso_mlp(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return poso_models.PosoMLPModel(mesh=mesh, **_common(params, info))
+
+
+@register_model("poso_mha")
+def _poso_mha(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return poso_models.PosoMHAModel(mesh=mesh, **_common(params, info))
+
+
+@register_model("poso_mmoe")
+def _poso_mmoe(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return poso_models.PosoMMOEModel(mesh=mesh, **_common(params, info))
+
+
+@register_model("pepnet")
+def _pepnet(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return poso_models.PEPNet(mesh=mesh, **_common(params, info))
+
+
+# --------------------------------------------------------------- FiBiNet++ (11)
+@register_model("fibinet_pp")
+def _fibinet_pp(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fpp_models.FiBiNetPlusPlus(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("masknet")
+def _masknet(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fpp_models.MaskNet(mesh=mesh, **_with_continuous(params, info))
+
+
+@register_model("contextnet")
+def _contextnet(params: dict, info: DataInfo, mesh: Optional[Mesh]):
+    return fpp_models.ContextNet(mesh=mesh, **_with_continuous(params, info))
