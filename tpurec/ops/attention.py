@@ -112,6 +112,36 @@ class DinTargetAttention(nn.Module):
         from tpurec.ops.mlp import MLP
 
         b, l, d = keys.shape
+        # Fused-kernel-compatible form: single relu hidden layer, no outer
+        # product → explicit (4D, H) params shared by the Pallas kernel and
+        # the XLA reference (tpurec.ops.pallas.kernels.din_attention_*), so
+        # checkpoints are identical across platforms.
+        if (
+            len(self.hidden_dims) == 1
+            and self.activation in ("relu", "prelu")
+            and not self.use_outer_product
+        ):
+            from tpurec.ops.pallas.kernels import (
+                din_attention_fused,
+                din_attention_reference,
+                pallas_available,
+            )
+
+            h = self.hidden_dims[0]
+            w1 = self.param("w1", nn.initializers.glorot_uniform(), (4 * d, h), jnp.float32)
+            b1 = self.param("b1", nn.initializers.zeros_init(), (h,), jnp.float32)
+            w2 = self.param("w2", nn.initializers.glorot_uniform(), (h, 1), jnp.float32)[:, 0]
+            alpha = (
+                self.param("alpha", nn.initializers.constant(0.25), (h,), jnp.float32)
+                if self.activation == "prelu"
+                else None
+            )
+            m = mask if mask is not None else jnp.ones((b, l), jnp.float32)
+            fn = din_attention_fused if pallas_available() else din_attention_reference
+            pooled, scores = fn(
+                query.astype(jnp.float32), keys.astype(jnp.float32), m, w1, b1, w2, alpha
+            )
+            return pooled.astype(keys.dtype), scores
         q = jnp.broadcast_to(query[:, None, :], (b, l, d))
         feats = [q, q - keys, keys, q * keys]
         if self.use_outer_product:
