@@ -154,3 +154,208 @@ long tfrecord_read_all(const char* path, char* buf, long buf_capacity,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Columnar tf.train.Example decoding.
+//
+// Parses the protobuf wire format of Example directly (no protobuf library):
+//   Example { 1: Features { 1: repeated MapEntry { 1: key, 2: Feature } } }
+//   Feature { 1: BytesList, 2: FloatList{1: packed f32}, 3: Int64List{1: packed varint} }
+// For a fixed schema (feature name, kind, width) the decoder fills
+// preallocated columnar arrays — the bulk path behind tpurec/data/loader.py.
+
+namespace {
+
+inline bool ReadVarint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end) {
+    uint8_t b = *p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+    if (shift >= 64) return false;
+  }
+  return false;
+}
+
+struct FeatureSpec {
+  const char* name;
+  size_t name_len;
+  int kind;    // 0 = int64, 1 = float32
+  long width;  // values per record
+  void* out;   // int64_t* or float*
+};
+
+// Decode one Feature payload into out row; returns false on schema mismatch.
+bool DecodeFeature(const uint8_t* p, const uint8_t* end, const FeatureSpec& spec,
+                   long row) {
+  uint64_t tag;
+  if (!ReadVarint(p, end, &tag)) return false;
+  uint64_t field = tag >> 3;
+  uint64_t len;
+  if (!ReadVarint(p, end, &len)) return false;
+  const uint8_t* payload = p;
+  const uint8_t* pend = p + len;
+  if (pend > end) return false;
+  if (field == 3 && spec.kind == 0) {  // Int64List
+    // inner: field 1 packed varints (or repeated unpacked)
+    int64_t* dst = static_cast<int64_t*>(spec.out) + row * spec.width;
+    long count = 0;
+    const uint8_t* q = payload;
+    while (q < pend) {
+      uint64_t itag;
+      if (!ReadVarint(q, pend, &itag)) return false;
+      if ((itag >> 3) != 1) return false;
+      if ((itag & 7) == 2) {  // packed
+        uint64_t plen;
+        if (!ReadVarint(q, pend, &plen)) return false;
+        const uint8_t* vend = q + plen;
+        while (q < vend) {
+          uint64_t v;
+          if (!ReadVarint(q, vend, &v)) return false;
+          if (count < spec.width) dst[count] = static_cast<int64_t>(v);
+          ++count;
+        }
+      } else {  // unpacked varint
+        uint64_t v;
+        if (!ReadVarint(q, pend, &v)) return false;
+        if (count < spec.width) dst[count] = static_cast<int64_t>(v);
+        ++count;
+      }
+    }
+    // pad short lists with zeros
+    for (; count < spec.width; ++count) dst[count] = 0;
+    return true;
+  }
+  if (field == 2 && spec.kind == 1) {  // FloatList
+    float* dst = static_cast<float*>(spec.out) + row * spec.width;
+    long count = 0;
+    const uint8_t* q = payload;
+    while (q < pend) {
+      uint64_t itag;
+      if (!ReadVarint(q, pend, &itag)) return false;
+      if ((itag >> 3) != 1) return false;
+      if ((itag & 7) == 2) {
+        uint64_t plen;
+        if (!ReadVarint(q, pend, &plen)) return false;
+        long n = static_cast<long>(plen / 4);
+        for (long i = 0; i < n; ++i) {
+          float v;
+          memcpy(&v, q + i * 4, 4);
+          if (count < spec.width) dst[count] = v;
+          ++count;
+        }
+        q += plen;
+      } else if ((itag & 7) == 5) {
+        float v;
+        memcpy(&v, q, 4);
+        q += 4;
+        if (count < spec.width) dst[count] = v;
+        ++count;
+      } else {
+        return false;
+      }
+    }
+    for (; count < spec.width; ++count) dst[count] = 0.0f;
+    return true;
+  }
+  return false;  // bytes or kind mismatch
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of records decoded, or -1 (I/O / parse error), -2 (capacity).
+long tfrecord_decode_columnar(const char* path, const char* names,
+                              const int* kinds, const long* widths,
+                              long n_features, void** outputs,
+                              long capacity_records, int verify) {
+  // build specs
+  std::vector<FeatureSpec> specs(n_features);
+  const char* np = names;
+  for (long i = 0; i < n_features; ++i) {
+    specs[i] = {np, strlen(np), kinds[i], widths[i], outputs[i]};
+    np += specs[i].name_len + 1;
+  }
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<char> buf;
+  unsigned char header[12];
+  long row = 0;
+  for (;;) {
+    size_t got = fread(header, 1, 12, f);
+    if (got == 0) break;
+    if (got < 12) { fclose(f); return -1; }
+    uint64_t len;
+    memcpy(&len, header, 8);
+    buf.resize(len);
+    if (fread(buf.data(), 1, len, f) != len) { fclose(f); return -1; }
+    uint32_t dcrc;
+    if (fread(&dcrc, 1, 4, f) != 4) { fclose(f); return -1; }
+    if (verify && MaskedCrc(buf.data(), len) != dcrc) { fclose(f); return -1; }
+    if (row >= capacity_records) { fclose(f); return -2; }
+    // parse Example
+    const uint8_t* p = reinterpret_cast<const uint8_t*>(buf.data());
+    const uint8_t* end = p + len;
+    long found = 0;
+    while (p < end) {
+      uint64_t tag;
+      if (!ReadVarint(p, end, &tag)) { fclose(f); return -1; }
+      uint64_t flen;
+      if (!ReadVarint(p, end, &flen)) { fclose(f); return -1; }
+      const uint8_t* fend = p + flen;
+      if ((tag >> 3) == 1) {  // Features
+        const uint8_t* q = p;
+        while (q < fend) {
+          uint64_t etag;
+          if (!ReadVarint(q, fend, &etag)) { fclose(f); return -1; }
+          uint64_t elen;
+          if (!ReadVarint(q, fend, &elen)) { fclose(f); return -1; }
+          const uint8_t* eend = q + elen;
+          if ((etag >> 3) == 1) {  // MapEntry
+            const uint8_t* key = nullptr;
+            size_t key_len = 0;
+            const uint8_t* val = nullptr;
+            size_t val_len = 0;
+            const uint8_t* m = q;
+            while (m < eend) {
+              uint64_t mtag;
+              if (!ReadVarint(m, eend, &mtag)) { fclose(f); return -1; }
+              uint64_t mlen;
+              if (!ReadVarint(m, eend, &mlen)) { fclose(f); return -1; }
+              if ((mtag >> 3) == 1) { key = m; key_len = mlen; }
+              else if ((mtag >> 3) == 2) { val = m; val_len = mlen; }
+              m += mlen;
+            }
+            if (key && val) {
+              for (auto& spec : specs) {
+                if (spec.name_len == key_len &&
+                    memcmp(spec.name, key, key_len) == 0) {
+                  if (!DecodeFeature(val, val + val_len, spec, row)) {
+                    fclose(f);
+                    return -1;
+                  }
+                  ++found;
+                  break;
+                }
+              }
+            }
+          }
+          q = eend;
+        }
+      }
+      p = fend;
+    }
+    if (found != n_features) { fclose(f); return -3; }  // missing feature
+    ++row;
+  }
+  fclose(f);
+  return row;
+}
+
+}  // extern "C"

@@ -131,6 +131,13 @@ class TrainConfig(_Base):
     checkpoint_dir: str = ""
     max_to_keep: int = 3
     tensorboard_dir: str = ""
+    # capture a jax.profiler trace (XProf/TensorBoard-viewable) for steps
+    # [profile_start_step, profile_start_step + profile_num_steps) of the
+    # first epoch — the TPU equivalent of the reference's
+    # tf.summary.trace_on(profiler=True) (2.FM/ModelManager.py:258)
+    profile_dir: str = ""
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
 
 @dataclass(frozen=True)

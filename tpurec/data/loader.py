@@ -24,7 +24,24 @@ from tpurec.data.recordio import read_tfrecords
 
 def decode_columnar(paths: Sequence[str]) -> Dict[str, np.ndarray]:
     """Decode Example records into column arrays. Scalar features become
-    (N,), fixed-width list features (N, W)."""
+    (N,), fixed-width list features (N, W).
+
+    Fast path: the native C++ parser (cpp/recordio.cc) decodes each shard in
+    bulk; the schema is inferred from the first record. Falls back to the
+    pure-python codec when the library isn't built or the schema is ragged."""
+    from tpurec.data import native
+
+    paths = list(paths)
+    if native.native_available() and paths:
+        try:
+            first = decode_example(next(read_tfrecords(paths[:1])))
+            schema = native.infer_schema(first)
+            shards = [native.decode_columnar_native(p, schema) for p in paths]
+            return {
+                k: np.concatenate([s[k] for s in shards]) for k in schema
+            }
+        except (IOError, TypeError):
+            pass  # ragged/bytes schema or corrupt → python fallback
     columns: Dict[str, List[np.ndarray]] = {}
     n = 0
     for raw in read_tfrecords(paths):

@@ -287,11 +287,21 @@ class Trainer:
     ) -> Tuple[TrainState, Dict[str, float]]:
         writer = writer or NullSummaryWriter()
         metric_state = self.metrics.init()
-        log_every = self.config.train.log_every_steps
+        cfg = self.config.train
+        log_every = cfg.log_every_steps
+        profiling = False
         t0 = time.time()
         n = 0
         for batch in batches:
             n += 1
+            if cfg.profile_dir and epoch == 0:
+                if n == cfg.profile_start_step:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif profiling and n == cfg.profile_start_step + cfg.profile_num_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
             batch = self.device_batch(batch)
             state, metric_state, logs = self.train_step(state, batch, metric_state)
             if log_every and n % log_every == 0:
@@ -305,6 +315,9 @@ class Trainer:
                     + " ".join(f"{k}={v:.4f}" for k, v in results.items())
                     + f" ({rate:.0f} ex/s)"
                 )
+        if profiling:  # epoch shorter than the profile window
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
         results = {k: float(v) for k, v in self.metrics.result(metric_state).items()}
         return state, results
 
