@@ -126,6 +126,10 @@ class TrainConfig(_Base):
     metrics: Sequence[str] = ()
     # mixed precision for dense compute; embeddings/accumulators stay fp32
     compute_dtype: str = "bfloat16"
+    # sparse embedding updates: tables leave the optimizer's params; each step
+    # gathers only the batch's unique rows and applies row-sparse Adam —
+    # O(U·D) instead of O(V·D) HBM traffic per step (tpurec/embedding/sparse.py)
+    sparse_embedding: bool = False
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     early_stop: EarlyStopConfig = field(default_factory=EarlyStopConfig)
     checkpoint_dir: str = ""

@@ -22,6 +22,27 @@ from tpurec.core.mesh import MODEL_AXIS
 from tpurec.embedding.ops import pad_vocab, row_sharded_lookup, used_id_l2
 
 
+# ---------------------------------------------------------------------------
+# sparse-update mode (see tpurec/embedding/sparse.py).
+#
+# A process-level flag read at TRACE time: when the trainer enables sparse
+# mode before tracing its train/eval steps, SharedEmbedding stores its table
+# in the 'tables' collection (outside the optimizer's params) and, when the
+# trainer supplies the per-step 'sparse_ids'/'sparse_rows' collections,
+# resolves ids against the gathered rows so no table-shaped gradient ever
+# exists. Outside sparse mode nothing changes.
+_SPARSE_MODE = False
+
+
+def set_sparse_mode(enabled: bool) -> None:
+    global _SPARSE_MODE
+    _SPARSE_MODE = enabled
+
+
+def sparse_mode_enabled() -> bool:
+    return _SPARSE_MODE
+
+
 def uniform_init(scale: float):
     """Keras-Embedding-style RandomUniform(-scale, scale) (reference parity)."""
 
@@ -54,6 +75,40 @@ class SharedEmbedding(nn.Module):
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         n_model = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
         v_pad = pad_vocab(self.vocab_size, n_model)
+        if sparse_mode_enabled():
+            table_var = self.variable(
+                "tables",
+                "embedding" + self.name_suffix,
+                uniform_init(self.init_scale),
+                self.make_rng("params") if self.has_rng("params") else None,
+                (v_pad, self.dim),
+                self.param_dtype,
+            )
+            table = table_var.value
+            if self.has_variable("sparse_ids", "uniq"):
+                # trainer-provided gathered-row path: O(U·D), no dense grads
+                from tpurec.embedding.sparse import lookup_positions
+
+                uniq = self.get_variable("sparse_ids", "uniq")
+                rows = self.get_variable(
+                    "sparse_rows", "embedding" + self.name_suffix
+                )
+                pos = lookup_positions(uniq, ids)
+                out = jnp.take(rows, pos, axis=0)
+                if self.is_mutable_collection("regularization"):
+                    # used-id L2 over the gathered rows (grads flow to rows)
+                    self.sow(
+                        "regularization",
+                        "used_id_l2",
+                        used_id_l2(jnp.asarray(rows), pos),
+                        init_fn=lambda: jnp.zeros((), jnp.float32),
+                        reduce_fn=lambda a, b: a + b,
+                    )
+            else:  # eval / serving: plain dense gather from the state table
+                out = jnp.take(table, ids, axis=0)
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return out
         table = self.param(
             "embedding" + self.name_suffix,
             nn.with_partitioning(uniform_init(self.init_scale), (MODEL_AXIS, None)),

@@ -89,6 +89,10 @@ def used_id_l2(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def pad_vocab(vocab_size: int, n_model: int, lane: int = 8) -> int:
-    """Round vocab up so row-sharding splits evenly and tiles cleanly."""
+    """Round vocab up so row-sharding splits evenly and tiles cleanly.
+
+    Always leaves at least one spare row past the real vocab — the sparse
+    update engine uses the last row as the sacrificial scatter target for
+    padded duplicate ids (tpurec.embedding.sparse.unique_fixed)."""
     m = n_model * lane
-    return ((vocab_size + m - 1) // m) * m
+    return ((vocab_size + 1 + m - 1) // m) * m

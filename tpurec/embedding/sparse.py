@@ -1,0 +1,95 @@
+"""Sparse embedding-update engine.
+
+The profiled bottleneck of recsys training steps is the optimizer's dense
+update of the embedding table: Adam reads and writes the full (V, D) table
+plus two moment arrays every step — O(7·V·D) HBM traffic — even though a
+batch touches only U ≪ V rows. This engine makes the whole embedding path
+O(U·D):
+
+1. ``unique_fixed``  — fixed-shape sorted unique of the batch's ids
+   (duplicates routed to a sacrificial padding row, so shapes stay static
+   for XLA)
+2. forward           — the trainer gathers ``rows = table[uniq]`` *outside*
+   the differentiated function and hands them to the model through the
+   'sparse_rows'/'sparse_ids' flax collections; ``SharedEmbedding`` resolves
+   ids against ``uniq`` by binary search and gathers from ``rows``
+3. backward          — autodiff produces ``d_rows`` of shape (U, D); no
+   table-shaped gradient is ever materialized
+4. ``sparse_adam``   — gathers m/v at ``uniq``, applies the Adam math on
+   (U, D) blocks, scatters rows/moments back
+
+No reference counterpart (the reference is a toy-scale eager TF loop); this
+is the subsystem that makes the framework production-scale (BASELINE.json
+north star: sharded tables + high examples/s/chip).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def unique_fixed(ids: jnp.ndarray, pad_id: int) -> jnp.ndarray:
+    """Sorted fixed-size unique: duplicates are replaced by ``pad_id`` and
+    sorted to the end. Output shape == input shape (static for XLA).
+
+    ``pad_id`` must be a valid (sacrificial) row index — SharedEmbedding's
+    vocab padding guarantees at least one spare row past the real vocab.
+    """
+    flat = jnp.sort(ids.reshape(-1))
+    first = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    marked = jnp.where(first, flat, pad_id)
+    return jnp.sort(marked)
+
+
+def lookup_positions(uniq: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Positions of ``ids`` inside the sorted ``uniq`` vector (exact matches
+    guaranteed by construction)."""
+    return jnp.searchsorted(uniq, ids)
+
+
+class SparseAdamState(NamedTuple):
+    m: jnp.ndarray  # (V, D) first moment
+    v: jnp.ndarray  # (V, D) second moment
+
+
+def init_sparse_adam(table: jnp.ndarray) -> SparseAdamState:
+    return SparseAdamState(jnp.zeros_like(table), jnp.zeros_like(table))
+
+
+def sparse_adam(
+    table: jnp.ndarray,
+    opt: SparseAdamState,
+    uniq: jnp.ndarray,  # (U,) sorted unique ids (with pad duplicates)
+    grad_rows: jnp.ndarray,  # (U, D) gradient for those rows
+    step: jnp.ndarray,  # scalar int (1-based for bias correction)
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+) -> Tuple[jnp.ndarray, SparseAdamState]:
+    """Adam on the touched rows only — O(U·D) gather/compute/scatter.
+
+    Duplicate pad entries in ``uniq`` all scatter into the sacrificial row;
+    their garbage moments never affect real rows. Matches dense
+    ``optax.adam`` on the touched rows (lazy-Adam semantics: untouched rows'
+    moments do not decay — the standard trade for sparse updates).
+    """
+    m_rows = jnp.take(opt.m, uniq, axis=0)
+    v_rows = jnp.take(opt.v, uniq, axis=0)
+    # guard duplicates: only the first occurrence of each id carries gradient
+    # (autodiff already sums duplicates into the first occurrence because
+    # lookup_positions maps every duplicate id to one position)
+    m_new = b1 * m_rows + (1 - b1) * grad_rows
+    v_new = b2 * v_rows + (1 - b2) * jnp.square(grad_rows)
+    t = step.astype(jnp.float32)
+    m_hat = m_new / (1 - b1**t)
+    v_hat = v_new / (1 - b2**t)
+    delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    rows = jnp.take(table, uniq, axis=0) - delta.astype(table.dtype)
+    new_table = table.at[uniq].set(rows)
+    return new_table, SparseAdamState(
+        opt.m.at[uniq].set(m_new), opt.v.at[uniq].set(v_new)
+    )

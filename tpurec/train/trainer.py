@@ -48,6 +48,10 @@ class TrainState:
     opt_state: Any
     model_state: Dict[str, Any]  # batch_stats and other mutable collections
     rng: jax.Array
+    # sparse-embedding mode only: tables live here (outside optax) with their
+    # row-sparse Adam moments (tpurec/embedding/sparse.py)
+    tables: Any = None
+    table_opt: Any = None
 
 
 def _dtype_of(name: str):
@@ -65,6 +69,12 @@ class Trainer:
         self.config = config
         self.info = info
         self.mesh_ctx = mesh_ctx or make_mesh(config.mesh)
+        if config.train.sparse_embedding:
+            # process-level trace-time flag (see tpurec.embedding.modules);
+            # must be set before any model tracing happens
+            from tpurec.embedding.modules import set_sparse_mode
+
+            set_sparse_mode(True)
         if model is None:
             mc = config.model
             params = dict(mc.params)
@@ -173,6 +183,12 @@ class Trainer:
         params = variables.pop("params")
         model_state = dict(variables)
         model_state.pop("regularization", None)
+        tables = table_opt = None
+        if self.config.train.sparse_embedding:
+            from tpurec.embedding.sparse import init_sparse_adam
+
+            tables = model_state.pop("tables")
+            table_opt = jax.tree.map(init_sparse_adam, tables)
         opt_state = self.tx.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -180,6 +196,8 @@ class Trainer:
             opt_state=opt_state,
             model_state=model_state,
             rng=state_rng,
+            tables=tables,
+            table_opt=table_opt,
         )
 
     def device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -193,6 +211,110 @@ class Trainer:
         return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
 
     # ------------------------------------------------------------------ steps
+    @staticmethod
+    def _variables(state: TrainState) -> Dict[str, Any]:
+        v = {"params": state.params, **state.model_state}
+        if state.tables is not None:
+            v["tables"] = state.tables
+        return v
+
+    @property
+    def _id_features(self):
+        return list(self.info.feature_names) + list(self.info.sequence_names)
+
+    @staticmethod
+    def _uniq_tree(tables, uniq):
+        """Mirror the 'tables' collection structure with per-module
+        {'uniq': ids} leaves for the 'sparse_ids' collection."""
+        if isinstance(tables, dict) and any(k.startswith("embedding") for k in tables):
+            return {"uniq": uniq}
+        return {k: Trainer._uniq_tree(v, uniq) for k, v in tables.items()}
+
+    def _build_sparse_train_step(self) -> Callable:
+        from tpurec.embedding.sparse import SparseAdamState, sparse_adam, unique_fixed
+
+        model = self.model
+        tx = self.tx
+        loss_fn = self.loss_fn
+        metrics = self.metrics
+        oc = self.config.train.optimizer
+        l2_coeff = self.config.model.embedding.used_id_l2
+        id_features = self._id_features
+        mutable = ["batch_stats", "regularization"]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, metric_state):
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            ids_all = jnp.concatenate(
+                [batch[n].reshape(-1).astype(jnp.int32) for n in id_features]
+            )
+            table_leaves = jax.tree.leaves(state.tables)
+            pad_id = table_leaves[0].shape[0] - 1  # sacrificial row (pad_vocab)
+            uniq = unique_fixed(ids_all, pad_id)
+            rows = jax.tree.map(lambda t: jnp.take(t, uniq, axis=0), state.tables)
+            sparse_ids = self._uniq_tree(state.tables, uniq)
+
+            def compute_loss(params, rows):
+                variables = {
+                    "params": params,
+                    "tables": state.tables,
+                    "sparse_ids": sparse_ids,
+                    "sparse_rows": rows,
+                    **state.model_state,
+                }
+                outputs, mut = model.apply(
+                    variables, batch, train=True, mutable=mutable,
+                    rngs={"dropout": step_rng},
+                )
+                loss, logs = loss_fn(outputs, batch)
+                loss, aux_logs = add_auxiliary(loss, outputs)
+                logs.update(aux_logs)
+                if l2_coeff > 0 and "regularization" in mut:
+                    reg = sum(jnp.sum(x) for x in jax.tree.leaves(mut["regularization"]))
+                    loss = loss + l2_coeff * reg
+                    logs["used_id_l2"] = reg
+                new_model_state = {k: v for k, v in mut.items() if k != "regularization"}
+                return loss, (outputs, new_model_state, logs)
+
+            (loss, (outputs, new_model_state, logs)), (grads, grad_rows) = (
+                jax.value_and_grad(compute_loss, argnums=(0, 1), has_aux=True)(
+                    state.params, rows
+                )
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            # row-sparse Adam per table
+            flat_tables, treedef = jax.tree_util.tree_flatten(state.tables)
+            flat_grads = jax.tree.leaves(grad_rows)
+            flat_opt = jax.tree_util.tree_flatten(
+                state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
+            )[0]
+            new_tables, new_opts = [], []
+            for t, g, o in zip(flat_tables, flat_grads, flat_opt):
+                nt, no = sparse_adam(
+                    t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
+                )
+                new_tables.append(nt)
+                new_opts.append(no)
+            tables = jax.tree_util.tree_unflatten(treedef, new_tables)
+            table_opt = jax.tree_util.tree_unflatten(treedef, new_opts)
+            new_state = TrainState(
+                step=new_step,
+                params=params,
+                opt_state=opt_state,
+                model_state={**state.model_state, **new_model_state},
+                rng=state.rng,
+                tables=tables,
+                table_opt=table_opt,
+            )
+            metric_state = metrics.update(
+                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+            )
+            return new_state, metric_state, logs | {"loss": loss}
+
+        return train_step
+
     def _build_train_step(self) -> Callable:
         model = self.model
         tx = self.tx
@@ -255,7 +377,7 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, batch, metric_state):
-            variables = {"params": state.params, **state.model_state}
+            variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
             loss, _ = loss_fn(outputs, batch)
             loss, _ = add_auxiliary(loss, outputs)
@@ -268,7 +390,11 @@ class Trainer:
     @property
     def train_step(self):
         if self._train_step is None:
-            self._train_step = self._build_train_step()
+            self._train_step = (
+                self._build_sparse_train_step()
+                if self.config.train.sparse_embedding
+                else self._build_train_step()
+            )
         return self._train_step
 
     @property
@@ -389,35 +515,41 @@ class Trainer:
         }
 
     # ------------------------------------------------------------- ckpt/infer
-    def save(self, state: TrainState) -> None:
+    @staticmethod
+    def _state_tree(state: TrainState) -> Dict[str, Any]:
         tree = {
             "step": state.step,
             "params": state.params,
             "opt_state": state.opt_state,
             "model_state": state.model_state,
         }
-        self.ckpt.save(int(state.step), tree)
+        if state.tables is not None:
+            tree["tables"] = state.tables
+            tree["table_opt"] = state.table_opt
+        return tree
+
+    def save(self, state: TrainState) -> None:
+        self.ckpt.save(int(state.step), self._state_tree(state))
 
     def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
-        tree = {
-            "step": state_like.step,
-            "params": state_like.params,
-            "opt_state": state_like.opt_state,
-            "model_state": state_like.model_state,
-        }
-        restored = self.ckpt.restore(tree, step)
+        restored = self.ckpt.restore(self._state_tree(state_like), step)
         return TrainState(
             step=restored["step"],
             params=restored["params"],
             opt_state=restored["opt_state"],
             model_state=restored["model_state"],
             rng=state_like.rng,
+            tables=restored.get("tables"),
+            table_opt=restored.get("table_opt"),
         )
 
     def export(self, state: TrainState, directory: str) -> None:
+        exported_state = dict(state.model_state)
+        if state.tables is not None:
+            exported_state["tables"] = state.tables
         ckpt_lib.export_params(
             directory,
-            {"params": state.params, "model_state": state.model_state},
+            {"params": state.params, "model_state": exported_state},
             meta={
                 "model": self.config.model.name,
                 "model_params": {
@@ -428,7 +560,7 @@ class Trainer:
         )
 
     def infer(self, state: TrainState, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        variables = {"params": state.params, **state.model_state}
+        variables = self._variables(state)
         batch = self.device_batch(batch)
         outputs = jax.jit(partial(self.model.apply, train=False))(variables, batch)
         return jax.device_get(outputs)
