@@ -99,6 +99,7 @@ class ArrayLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = True,
+        pad_final: bool = False,
         host_id: int = 0,
         num_hosts: int = 1,
     ):
@@ -114,7 +115,11 @@ class ArrayLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.drop_remainder = drop_remainder
+        self.drop_remainder = drop_remainder and not pad_final
+        # pad_final: the last partial batch is wrap-padded to full size and a
+        # '__weight__' column marks real rows — static batch shapes for XLA
+        # with exact (weighted) eval metrics over every example
+        self.pad_final = pad_final
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -131,7 +136,19 @@ class ArrayLoader:
         end = (self.n // self.batch_size) * self.batch_size if self.drop_remainder else self.n
         for start in range(0, end, self.batch_size):
             idx = order[start : start + self.batch_size]
-            yield {k: v[idx] for k, v in self.data.items()}
+            real = len(idx)
+            if real < self.batch_size:
+                if not self.pad_final:
+                    yield {k: v[idx] for k, v in self.data.items()}
+                    continue
+                pad = np.resize(order, self.batch_size - real)  # wrap-around
+                idx = np.concatenate([idx, pad])
+            batch = {k: v[idx] for k, v in self.data.items()}
+            if self.pad_final:
+                w = np.zeros(self.batch_size, np.float32)
+                w[:real] = 1.0
+                batch["__weight__"] = w
+            yield batch
 
 
 def shard_paths(directory: str, pattern_prefix: str) -> List[str]:

@@ -133,6 +133,7 @@ class Trainer:
     def _metric_updates(self, outputs, batch) -> Dict[str, tuple]:
         loss_name = self.config.train.loss
         upd: Dict[str, tuple] = {}
+        weight = batch.get("__weight__")  # wrap-padded eval batches
         configured = set(self.metrics.metrics) - {"loss"}
         if loss_name == "model_loss":
             # model computes its own loss; AUCs tracked for whatever task
@@ -144,8 +145,7 @@ class Trainer:
                 upd["cvr_auc"] = (batch["cvr"].reshape(-1), cvr_out.reshape(-1))
             if "auc" in configured and "output" in outputs:
                 upd["auc"] = (batch["label"].reshape(-1), outputs["output"].reshape(-1))
-            return upd
-        if loss_name == "bce":
+        elif loss_name == "bce":
             upd["auc"] = (batch["label"].reshape(-1), outputs["output"].reshape(-1))
         elif loss_name == "gsu_esu":
             # AUC from the ESU positive-class probability (reference
@@ -168,6 +168,8 @@ class Trainer:
                     jnp.float32
                 )
             upd["accuracy"] = (hit,)
+        if weight is not None:
+            upd = {k: v + (weight.reshape(-1),) for k, v in upd.items()}
         return upd
 
     # ------------------------------------------------------------- state init
@@ -381,8 +383,10 @@ class Trainer:
             outputs = model.apply(variables, batch, train=False)
             loss, _ = loss_fn(outputs, batch)
             loss, _ = add_auxiliary(loss, outputs)
+            w = batch.get("__weight__")
+            loss_args = (loss,) if w is None else (loss, jnp.sum(w))
             return metrics.update(
-                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+                metric_state, loss=loss_args, **self._metric_updates(outputs, batch)
             )
 
         return eval_step
