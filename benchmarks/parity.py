@@ -149,16 +149,20 @@ def main():
             results["deepfm"] = {"eval_auc": rep["best_eval"]["auc"], "target": 0.9244,
                                  "seconds": rep["train_seconds"]}
         if "dssm" in models:
-            pos = {k: v[train["label"] > 0] for k, v in train.items()}
+            # the reference trains DSSM dual-tower pointwise with BCE on the
+            # click label (cosine → [0,1]) and reports eval AUC 0.9225 — the
+            # apples-to-apples parity metric. recall@100 is our own extra
+            # (the synthetic task's ORACLE recall@100 is only ≈0.25: items
+            # are tag-level substitutable, see benchmarks/notes).
             state, trainer, rep = run_ranking(
-                "dssm_double", info, pos, pos, max(2, epochs // 2), lr=0.005,
-                loss="in_batch_softmax",
+                "dssm_double", info, train, test, epochs, lr=0.005, loss="bce",
             )
             recall = bench_dssm_recall(trainer, state, info, test)
             results["dssm"] = {
-                "in_batch_accuracy": rep["best_eval"]["accuracy"],
+                "eval_auc": rep["best_eval"]["auc"],
+                "target": 0.9225,
                 "recall@100": recall,
-                "target": "reference reports no recall; AUC target 0.9225 on bce",
+                "oracle_recall@100": "~0.25 (tag-substitutable items)",
                 "seconds": rep["train_seconds"],
             }
     if "mmoe" in models:
