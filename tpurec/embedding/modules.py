@@ -85,22 +85,22 @@ class SharedEmbedding(nn.Module):
                 self.param_dtype,
             )
             table = table_var.value
-            if self.has_variable("sparse_ids", "uniq"):
-                # trainer-provided gathered-row path: O(U·D), no dense grads
-                from tpurec.embedding.sparse import lookup_positions
-
-                uniq = self.get_variable("sparse_ids", "uniq")
+            if self.has_variable("sparse_rows", "embedding" + self.name_suffix):
+                # trainer-provided gathered-row path: O(U·D), no dense grads.
+                # Trainer contract: the batch's id features were rewritten
+                # into ROW POSITIONS within `rows` (tpurec.embedding.sparse.
+                # unique_with_positions), so `ids` here already index rows
+                # directly — no per-module position search.
                 rows = self.get_variable(
                     "sparse_rows", "embedding" + self.name_suffix
                 )
-                pos = lookup_positions(uniq, ids)
-                out = jnp.take(rows, pos, axis=0)
+                out = jnp.take(rows, ids, axis=0)
                 if self.is_mutable_collection("regularization"):
                     # used-id L2 over the gathered rows (grads flow to rows)
                     self.sow(
                         "regularization",
                         "used_id_l2",
-                        used_id_l2(jnp.asarray(rows), pos),
+                        used_id_l2(jnp.asarray(rows), ids),
                         init_fn=lambda: jnp.zeros((), jnp.float32),
                         reduce_fn=lambda a, b: a + b,
                     )

@@ -46,8 +46,41 @@ def unique_fixed(ids: jnp.ndarray, pad_id: int) -> jnp.ndarray:
 
 def lookup_positions(uniq: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Positions of ``ids`` inside the sorted ``uniq`` vector (exact matches
-    guaranteed by construction)."""
+    guaranteed by construction).
+
+    NOTE: searchsorted lowers to a sequential while-loop on TPU (measured
+    ~65 ms at U=164k inside a fused step) — the trainer avoids this entirely
+    with ``unique_with_positions`` + batch rewriting; this helper remains for
+    host-side/small uses."""
     return jnp.searchsorted(uniq, ids)
+
+
+def unique_with_positions(
+    flat_ids: jnp.ndarray, pad_id: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One-argsort unique + inverse positions (no binary search, no while
+    loops — TPU-friendly: sort, cumsum, two 1-D scatters).
+
+    Returns (uniq (N+1,), positions (N,)):
+    - ``uniq`` is compacted ascending unique ids, padded with ``pad_id``;
+      a synthetic id 0 is always injected so that slot 0 == id 0 — the
+      padding index keeps its value in position space, so sequence masks
+      computed against padding_index survive the trainer's batch rewrite.
+    - ``positions[i]`` is the slot of ``flat_ids[i]`` in ``uniq``.
+    """
+    flat = jnp.concatenate(
+        [jnp.zeros((1,), flat_ids.dtype), flat_ids.reshape(-1)]
+    )
+    n = flat.shape[0]
+    order = jnp.argsort(flat)
+    sorted_ids = jnp.take(flat, order)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    slot = jnp.cumsum(first) - 1  # position of each sorted element's value
+    uniq = jnp.full((n,), pad_id, flat.dtype).at[slot].set(sorted_ids)
+    positions = jnp.zeros((n,), slot.dtype).at[order].set(slot)
+    return uniq, positions[1:]
 
 
 class SparseAdamState(NamedTuple):

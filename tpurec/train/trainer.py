@@ -224,16 +224,12 @@ class Trainer:
     def _id_features(self):
         return list(self.info.feature_names) + list(self.info.sequence_names)
 
-    @staticmethod
-    def _uniq_tree(tables, uniq):
-        """Mirror the 'tables' collection structure with per-module
-        {'uniq': ids} leaves for the 'sparse_ids' collection."""
-        if isinstance(tables, dict) and any(k.startswith("embedding") for k in tables):
-            return {"uniq": uniq}
-        return {k: Trainer._uniq_tree(v, uniq) for k, v in tables.items()}
-
     def _build_sparse_train_step(self) -> Callable:
-        from tpurec.embedding.sparse import SparseAdamState, sparse_adam, unique_fixed
+        from tpurec.embedding.sparse import (
+            SparseAdamState,
+            sparse_adam,
+            unique_with_positions,
+        )
 
         model = self.model
         tx = self.tx
@@ -247,20 +243,27 @@ class Trainer:
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
             step_rng = jax.random.fold_in(state.rng, state.step)
+            id_shapes = [batch[n].shape for n in id_features]
             ids_all = jnp.concatenate(
                 [batch[n].reshape(-1).astype(jnp.int32) for n in id_features]
             )
             table_leaves = jax.tree.leaves(state.tables)
             pad_id = table_leaves[0].shape[0] - 1  # sacrificial row (pad_vocab)
-            uniq = unique_fixed(ids_all, pad_id)
+            uniq, positions = unique_with_positions(ids_all, pad_id)
             rows = jax.tree.map(lambda t: jnp.take(t, uniq, axis=0), state.tables)
-            sparse_ids = self._uniq_tree(state.tables, uniq)
+            # rewrite the batch's id features into row-position space (the
+            # injected id-0 slot keeps padding_index==0 masks valid)
+            batch = dict(batch)
+            offset = 0
+            for name, shape in zip(id_features, id_shapes):
+                size = int(np.prod(shape))
+                batch[name] = positions[offset : offset + size].reshape(shape)
+                offset += size
 
             def compute_loss(params, rows):
                 variables = {
                     "params": params,
                     "tables": state.tables,
-                    "sparse_ids": sparse_ids,
                     "sparse_rows": rows,
                     **state.model_state,
                 }
