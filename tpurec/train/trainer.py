@@ -58,6 +58,32 @@ def _dtype_of(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[name]
 
 
+_CACHE_SET = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: step programs (especially the
+    sparse-update step) can take minutes to compile on the TPU toolchain —
+    cache them across processes."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    import os
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "TPUREC_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/tpurec_jax_cache"),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these options
+    _CACHE_SET = True
+
+
 class Trainer:
     def __init__(
         self,
@@ -66,6 +92,7 @@ class Trainer:
         mesh_ctx: Optional[MeshContext] = None,
         model: Optional[nn.Module] = None,
     ):
+        _enable_compilation_cache()
         self.config = config
         self.info = info
         self.mesh_ctx = mesh_ctx or make_mesh(config.mesh)
@@ -242,6 +269,12 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
+            # set the module-level sparse flag at TRACE time, inside the
+            # traced body — retraces (e.g. after sharding changes) then
+            # always see the right mode regardless of global state
+            from tpurec.embedding.modules import set_sparse_mode
+
+            set_sparse_mode(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
             id_shapes = [batch[n].shape for n in id_features]
             ids_all = jnp.concatenate(
@@ -330,6 +363,9 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
+            from tpurec.embedding.modules import set_sparse_mode
+
+            set_sparse_mode(False)
             step_rng = jax.random.fold_in(state.rng, state.step)
 
             def compute_loss(params):
@@ -380,8 +416,13 @@ class Trainer:
         loss_fn = self.loss_fn
         metrics = self.metrics
 
+        sparse = self.config.train.sparse_embedding
+
         @jax.jit
         def eval_step(state: TrainState, batch, metric_state):
+            from tpurec.embedding.modules import set_sparse_mode
+
+            set_sparse_mode(sparse)
             variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
             loss, _ = loss_fn(outputs, batch)
@@ -567,7 +608,11 @@ class Trainer:
         )
 
     def infer(self, state: TrainState, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        from tpurec.embedding.modules import set_sparse_mode
+
+        set_sparse_mode(self.config.train.sparse_embedding)
         variables = self._variables(state)
         batch = self.device_batch(batch)
         outputs = jax.jit(partial(self.model.apply, train=False))(variables, batch)
+        set_sparse_mode(False)
         return jax.device_get(outputs)
