@@ -69,7 +69,7 @@ def _make_batch(info, batch_size, seq_len, seed=0):
     return batch
 
 
-def _measure(batch_size=8192, warmup=3, iters=20) -> dict:
+def _measure(batch_size=8192, warmup=12, iters=20) -> dict:
     import jax
     import jax.numpy as jnp
     import optax
@@ -104,13 +104,20 @@ def _measure(batch_size=8192, warmup=3, iters=20) -> dict:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    def checksum(params):
+        # host fetch that transitively depends on EVERY update in the chain —
+        # the axon TPU tunnel acknowledges block_until_ready before remote
+        # execution finishes, so only a data-dependent fetch measures honestly
+        leaf = jax.tree.leaves(params)[0]
+        return float(jnp.sum(leaf[0] if leaf.ndim > 1 else leaf))
+
     for _ in range(warmup):
         params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    checksum(params)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, batch)
-    jax.block_until_ready(loss)
+    checksum(params)
     dt = time.perf_counter() - t0
     return {
         "model": name,

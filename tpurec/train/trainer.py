@@ -96,12 +96,12 @@ class Trainer:
         self.config = config
         self.info = info
         self.mesh_ctx = mesh_ctx or make_mesh(config.mesh)
-        if config.train.sparse_embedding:
-            # process-level trace-time flag (see tpurec.embedding.modules);
-            # must be set before any model tracing happens
-            from tpurec.embedding.modules import set_sparse_mode
+        # trace-time flag (see tpurec.embedding.modules) — set explicitly in
+        # BOTH directions so trainers with different modes can coexist; each
+        # jitted step body also re-asserts it at trace time
+        from tpurec.embedding.modules import set_sparse_mode
 
-            set_sparse_mode(True)
+        set_sparse_mode(config.train.sparse_embedding)
         if model is None:
             mc = config.model
             params = dict(mc.params)
@@ -201,6 +201,9 @@ class Trainer:
 
     # ------------------------------------------------------------- state init
     def init_state(self, sample_batch: Dict[str, np.ndarray], seed: Optional[int] = None) -> TrainState:
+        from tpurec.embedding.modules import set_sparse_mode
+
+        set_sparse_mode(self.config.train.sparse_embedding)
         seed = self.config.train.seed if seed is None else seed
         rng = jax.random.key(seed)
         init_rng, state_rng = jax.random.split(rng)
@@ -589,6 +592,22 @@ class Trainer:
             rng=state_like.rng,
             tables=restored.get("tables"),
             table_opt=restored.get("table_opt"),
+        )
+
+    def load_from_export(self, state: TrainState, directory: str) -> TrainState:
+        """Incremental retraining: seed params/model_state from a frozen
+        export while keeping a fresh optimizer (reference 'incremental' mode,
+        2.FM/ModelManager.py:247-249)."""
+        exported_state = dict(state.model_state)
+        if state.tables is not None:
+            exported_state["tables"] = state.tables
+        loaded = ckpt_lib.load_exported_params(
+            directory, {"params": state.params, "model_state": exported_state}
+        )
+        model_state = dict(loaded["model_state"])
+        tables = model_state.pop("tables", state.tables)
+        return state.replace(
+            params=loaded["params"], model_state=model_state, tables=tables
         )
 
     def export(self, state: TrainState, directory: str) -> None:
