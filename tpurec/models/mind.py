@@ -158,6 +158,11 @@ class ComiRec(_RetrievalBase):
     num_interests: int = 4
     attention_dim: int = 32
     max_seq_length: int = 0
+    # >0: 'auto' training mode — sampled softmax over [positive ∥ N sampled
+    # negative item ids] (reference tf.nn.sampled_softmax_loss over the id
+    # table, 6.MIND/CustomLayers.py:853-863); emits 'logits' with the
+    # first-column-positive convention consumed by losses.in_batch_softmax
+    num_sampled_negatives: int = 0
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
@@ -186,13 +191,29 @@ class ComiRec(_RetrievalBase):
         scores = jnp.where(cap_mask.astype(bool), scores, -1e9)
         best = jnp.argmax(scores, axis=-1)
         user_vec = jnp.take_along_axis(capsules, best[:, None, None], axis=1)[:, 0]
-        return {
+        out: Outputs = {
             "user_embedding": user_vec,
             "item_embedding": target,
             "interest_capsules": capsules,
             "capsule_mask": cap_mask,
             "output": jnp.max(scores, axis=-1),
         }
+        if train and self.num_sampled_negatives > 0:
+            neg_ids = jax.random.randint(
+                self.make_rng("sampling"),
+                (b, self.num_sampled_negatives),
+                1,  # skip the padding id
+                self.vocab_size,
+            )
+            neg_emb = emb(neg_ids)  # (B, N, D)
+            pos_logit = jnp.einsum(
+                "bd,bd->b", user_vec.astype(jnp.float32), target.astype(jnp.float32)
+            )[:, None]
+            neg_logits = jnp.einsum(
+                "bd,bnd->bn", user_vec.astype(jnp.float32), neg_emb.astype(jnp.float32)
+            )
+            out["logits"] = jnp.concatenate([pos_logit, neg_logits], axis=-1)
+        return out
 
 
 def greedy_diverse_topk(

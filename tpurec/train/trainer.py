@@ -305,7 +305,7 @@ class Trainer:
                 }
                 outputs, mut = model.apply(
                     variables, batch, train=True, mutable=mutable,
-                    rngs={"dropout": step_rng},
+                    rngs={"dropout": step_rng, "sampling": jax.random.fold_in(step_rng, 1)},
                 )
                 loss, logs = loss_fn(outputs, batch)
                 loss, aux_logs = add_auxiliary(loss, outputs)
@@ -378,7 +378,7 @@ class Trainer:
                     batch,
                     train=True,
                     mutable=mutable,
-                    rngs={"dropout": step_rng},
+                    rngs={"dropout": step_rng, "sampling": jax.random.fold_in(step_rng, 1)},
                 )
                 loss, logs = loss_fn(outputs, batch)
                 loss, aux_logs = add_auxiliary(loss, outputs)
