@@ -211,7 +211,24 @@ class Trainer:
         variables = self.model.init(
             {"params": init_rng, "dropout": init_rng}, batch, train=False
         )
+        # apply the partitioning metadata for real: every param annotated by
+        # nn.with_partitioning (embedding rows → ('model', None)) is placed
+        # with its NamedSharding; unannotated params are replicated. The
+        # optimizer state inherits shardings through zeros_like.
+        specs = nn.get_partition_spec(variables)
         variables = nn.unbox(variables)
+        if self.mesh_ctx.n_devices > 1:
+            mesh = self.mesh_ctx.mesh
+
+            def _place(x, spec):
+                try:
+                    return jax.device_put(
+                        x, jax.sharding.NamedSharding(mesh, spec)
+                    )
+                except (ValueError, TypeError):
+                    return jax.device_put(x, self.mesh_ctx.replicated)
+
+            variables = jax.tree.map(_place, variables, specs)
         params = variables.pop("params")
         model_state = dict(variables)
         model_state.pop("regularization", None)
