@@ -359,3 +359,98 @@ long tfrecord_decode_columnar(const char* path, const char* names,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Columnar tf.train.Example ENCODING: the write-side counterpart of the
+// decoder above. Serializes N records of a fixed (name, kind, width) schema
+// from columnar arrays straight into a framed TFRecord file — takes the
+// DataGenerators' per-row python encode loop off the hot path.
+
+namespace {
+
+inline void AppendVarint(std::vector<uint8_t>& out, uint64_t v) {
+  while (v >= 0x80) {
+    out.push_back(static_cast<uint8_t>(v) | 0x80);
+    v >>= 7;
+  }
+  out.push_back(static_cast<uint8_t>(v));
+}
+
+inline void AppendTag(std::vector<uint8_t>& out, uint32_t field, uint32_t wire) {
+  AppendVarint(out, (field << 3) | wire);
+}
+
+inline void AppendLenDelim(std::vector<uint8_t>& out, uint32_t field,
+                           const std::vector<uint8_t>& payload) {
+  AppendTag(out, field, 2);
+  AppendVarint(out, payload.size());
+  out.insert(out.end(), payload.begin(), payload.end());
+}
+
+}  // namespace
+
+extern "C" {
+
+// names: "n1\0n2\0..."; kinds: 0=int64 (inputs int64*), 1=float32 (float*).
+// widths: values per record. Appends framed records for rows [0, n_records)
+// to `path` (truncates unless append != 0). Returns n_records or -1.
+long tfrecord_encode_columnar(const char* path, const char* names,
+                              const int* kinds, const long* widths,
+                              long n_features, const void** inputs,
+                              long n_records, int append) {
+  struct Spec { const char* name; size_t name_len; int kind; long width; const void* in; };
+  std::vector<Spec> specs(n_features);
+  const char* np = names;
+  for (long i = 0; i < n_features; ++i) {
+    specs[i] = {np, strlen(np), kinds[i], widths[i], inputs[i]};
+    np += specs[i].name_len + 1;
+  }
+  FILE* f = fopen(path, append ? "ab" : "wb");
+  if (!f) return -1;
+  std::vector<uint8_t> feat, entry, features, example, inner;
+  for (long row = 0; row < n_records; ++row) {
+    features.clear();
+    for (auto& spec : specs) {
+      // Feature payload
+      feat.clear();
+      inner.clear();
+      if (spec.kind == 0) {
+        const int64_t* vals = static_cast<const int64_t*>(spec.in) + row * spec.width;
+        std::vector<uint8_t> packed;
+        for (long j = 0; j < spec.width; ++j)
+          AppendVarint(packed, static_cast<uint64_t>(vals[j]));
+        AppendLenDelim(inner, 1, packed);          // Int64List.value (packed)
+        AppendLenDelim(feat, 3, inner);            // Feature.int64_list
+      } else {
+        const float* vals = static_cast<const float*>(spec.in) + row * spec.width;
+        std::vector<uint8_t> packed(spec.width * 4);
+        memcpy(packed.data(), vals, spec.width * 4);
+        AppendLenDelim(inner, 1, packed);          // FloatList.value (packed)
+        AppendLenDelim(feat, 2, inner);            // Feature.float_list
+      }
+      // MapEntry { key=1, value=2 }
+      entry.clear();
+      AppendTag(entry, 1, 2);
+      AppendVarint(entry, spec.name_len);
+      entry.insert(entry.end(), spec.name, spec.name + spec.name_len);
+      AppendLenDelim(entry, 2, feat);
+      AppendLenDelim(features, 1, entry);          // Features.feature
+    }
+    example.clear();
+    AppendLenDelim(example, 1, features);          // Example.features
+    // TFRecord frame
+    uint64_t len = example.size();
+    char header[12];
+    memcpy(header, &len, 8);
+    uint32_t hcrc = MaskedCrc(header, 8);
+    memcpy(header + 8, &hcrc, 4);
+    uint32_t dcrc = MaskedCrc(reinterpret_cast<char*>(example.data()), len);
+    fwrite(header, 1, 12, f);
+    fwrite(example.data(), 1, len, f);
+    fwrite(&dcrc, 1, 4, f);
+  }
+  fclose(f);
+  return n_records;
+}
+
+}  // extern "C"

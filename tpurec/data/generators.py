@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 
 from tpurec.data.example_proto import encode_example
-from tpurec.data.recordio import ShardedTFRecordWriter
+from tpurec.data.recordio import ShardedTFRecordWriter, write_columnar_shards
 from tpurec.data.schema import DataInfo, FeatureEncoder
 
 
@@ -98,18 +98,22 @@ class TabularDataGenerator:
         self.info.label_names = ["label"]
         self.info.user_features = list(self.user_features)
         self.info.item_features = list(self.item_features)
-        # vectorized encode (reference does per-row python, :110-123)
+        # vectorized encode (reference does per-row python, :110-123) and
+        # columnar shard writes through the native C++ encoder
         encoded = {
             c: df[c].astype(str).map(self.encoder.recorder[c]).to_numpy(np.int64)
             for c in self.encode_columns
         }
-        labels = df["label"].to_numpy(np.float32)
+        encoded["label"] = df["label"].to_numpy(np.float32)
         kinds = df["data_type"].to_numpy()
-        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
-            for k in range(len(df)):
-                feats = {c: [int(encoded[c][k])] for c in self.encode_columns}
-                feats["label"] = np.asarray([labels[k]], np.float32)
-                w.write(encode_example(feats), str(kinds[k]))
+        for kind in ("train", "test"):
+            sel = kinds == kind
+            write_columnar_shards(
+                self.output_path,
+                kind,
+                {c: v[sel] for c, v in encoded.items()},
+                self.records_per_file,
+            )
         self._dump_profiles()
         self.info.save(self.output_path)
         self.encoder.save(self.output_path)
@@ -167,21 +171,27 @@ class ImpressionLogGenerator:
         self.info.continuous_names = derived
         self.info.label_names = ["ctr", "cvr"]
         rng = np.random.default_rng(self.seed)
-        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
-            for r in records:
-                ctr_s, cvr_s = r["Label"].split("$#")
-                feats: Dict[str, object] = {
-                    c: [encoder.encode(c, r["features"][c])] for c in cat_names
-                }
-                for c in cont_names:
-                    v = float(r["continuous"][c])
-                    feats[c] = np.asarray([v], np.float32)
-                    feats[f"{c}_sq"] = np.asarray([v * v], np.float32)
-                    feats[f"{c}_cube"] = np.asarray([v * v * v], np.float32)
-                feats["ctr"] = np.asarray([float(ctr_s)], np.float32)
-                feats["cvr"] = np.asarray([float(cvr_s)], np.float32)
-                kind = "train" if rng.random() < self.split_fraction else "test"
-                w.write(encode_example(feats), kind)
+        n = len(records)
+        cols: Dict[str, np.ndarray] = {
+            c: np.asarray(
+                [encoder.encode(c, r["features"][c]) for r in records], np.int64
+            )
+            for c in cat_names
+        }
+        for c in cont_names:
+            v = np.asarray([float(r["continuous"][c]) for r in records], np.float32)
+            cols[c] = v
+            cols[f"{c}_sq"] = v * v
+            cols[f"{c}_cube"] = v * v * v
+        labels = [r["Label"].split("$#") for r in records]
+        cols["ctr"] = np.asarray([float(a) for a, _ in labels], np.float32)
+        cols["cvr"] = np.asarray([float(b) for _, b in labels], np.float32)
+        is_train = rng.random(n) < self.split_fraction
+        for kind, sel in (("train", is_train), ("test", ~is_train)):
+            write_columnar_shards(
+                self.output_path, kind,
+                {c: v[sel] for c, v in cols.items()}, self.records_per_file,
+            )
         self.info.save(self.output_path)
         encoder.save(self.output_path)
         return self.info
@@ -241,19 +251,24 @@ class SequenceDataGenerator:
         )
         rng = np.random.default_rng(self.seed)
         L = self.max_seq_length
-        with ShardedTFRecordWriter(self.output_path, self.records_per_file) as w:
-            for r in records:
-                hist = [item_map[h] for h in r["history"][-L:]]
-                hist = hist + [0] * (L - len(hist))
-                feats = {
-                    "item_id": [item_map[r["item_id"]]],
-                    "user_tag": [ut_map[r["user_tag"]]],
-                    "item_tag": [it_map[r["item_tag"]]],
-                    "history": np.asarray(hist, np.int64),
-                    "label": np.asarray([float(r["label"])], np.float32),
-                }
-                kind = "train" if rng.random() < self.split_fraction else "test"
-                w.write(encode_example(feats), kind)
+        n = len(records)
+        hist = np.zeros((n, L), np.int64)
+        for i, r in enumerate(records):
+            h = [item_map[x] for x in r["history"][-L:]]
+            hist[i, : len(h)] = h
+        cols = {
+            "item_id": np.asarray([item_map[r["item_id"]] for r in records], np.int64),
+            "user_tag": np.asarray([ut_map[r["user_tag"]] for r in records], np.int64),
+            "item_tag": np.asarray([it_map[r["item_tag"]] for r in records], np.int64),
+            "history": hist,
+            "label": np.asarray([float(r["label"]) for r in records], np.float32),
+        }
+        is_train = rng.random(n) < self.split_fraction
+        for kind, sel in (("train", is_train), ("test", ~is_train)):
+            write_columnar_shards(
+                self.output_path, kind,
+                {c: v[sel] for c, v in cols.items()}, self.records_per_file,
+            )
         self.info.save(self.output_path)
         with open(os.path.join(self.output_path, "feature_dict.json"), "w") as f:
             json.dump({"item_id": item_map, "user_tag": ut_map, "item_tag": it_map}, f)

@@ -85,6 +85,56 @@ def decode_columnar_native(
     }
 
 
+def encode_columnar_native(
+    path: str,
+    columns: Dict[str, np.ndarray],
+    append: bool = False,
+) -> int:
+    """Serialize columnar arrays as framed Example records in C++ (the
+    write-side fast path used by the DataGenerators). Columns: (N,) or
+    (N, W) int64/float32 arrays."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "tfrecord_encode_columnar"):
+        raise RuntimeError("native librecordio.so with encoder not available")
+    lib.tfrecord_encode_columnar.restype = ctypes.c_long
+    names = sorted(columns)
+    n = len(next(iter(columns.values())))
+    name_blob = b"".join(nm.encode() + b"\0" for nm in names)
+    kinds = []
+    widths = []
+    arrays = []
+    for nm in names:
+        arr = np.ascontiguousarray(columns[nm])
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if np.issubdtype(arr.dtype, np.integer):
+            arr = arr.astype(np.int64)
+            kinds.append(KIND_INT64)
+        else:
+            arr = arr.astype(np.float32)
+            kinds.append(KIND_FLOAT32)
+        widths.append(arr.shape[1])
+        arrays.append(arr)
+    kinds_np = np.asarray(kinds, np.int32)
+    widths_np = np.asarray(widths, np.int64)
+    ptrs = (ctypes.c_void_p * len(names))(
+        *[a.ctypes.data_as(ctypes.c_void_p) for a in arrays]
+    )
+    got = lib.tfrecord_encode_columnar(
+        path.encode(),
+        name_blob,
+        kinds_np.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        widths_np.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        len(names),
+        ptrs,
+        n,
+        1 if append else 0,
+    )
+    if got < 0:
+        raise IOError(f"tfrecord_encode_columnar failed on {path} ({got})")
+    return int(got)
+
+
 def infer_schema(example_features: Dict[str, np.ndarray]) -> Dict[str, Tuple[int, int]]:
     """Schema from one decoded record (kind + fixed width per feature)."""
     schema = {}

@@ -139,3 +139,42 @@ class ShardedTFRecordWriter:
 def read_tfrecords(paths: Iterable[str], verify: bool = False) -> Iterator[bytes]:
     for path in paths:
         yield from iter_framed(path, verify=verify)
+
+
+def write_columnar_shards(
+    output_dir: str,
+    kind: str,
+    columns: Dict[str, "object"],
+    records_per_file: int = 200_000,
+) -> List[str]:
+    """Write columnar arrays as TFRecord shards — native C++ encoder when
+    built (tpurec.data.native), per-row python codec otherwise. Returns the
+    shard paths."""
+    import numpy as np
+
+    from tpurec.data import native
+    from tpurec.data.example_proto import encode_example
+
+    os.makedirs(output_dir, exist_ok=True)
+    n = len(next(iter(columns.values())))
+    paths: List[str] = []
+    for shard, start in enumerate(range(0, n, records_per_file)):
+        path = os.path.join(output_dir, f"{kind}_{shard:05d}.tfrecord")
+        chunk = {k: v[start : start + records_per_file] for k, v in columns.items()}
+        if native.native_available():
+            native.encode_columnar_native(path, chunk)
+        else:
+            with TFRecordWriter(path) as w:
+                m = len(next(iter(chunk.values())))
+                for i in range(m):
+                    feats = {}
+                    for key, col in chunk.items():
+                        val = col[i]
+                        feats[key] = (
+                            np.atleast_1d(val)
+                            if isinstance(val, np.ndarray) or np.isscalar(val)
+                            else val
+                        )
+                    w.write(encode_example(feats))
+        paths.append(path)
+    return paths
