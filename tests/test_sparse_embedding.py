@@ -130,6 +130,37 @@ class TestSparseTrainer:
         out = trainer.infer(state, {k: v[:16] for k, v in data.items()})
         assert out["output"].shape == (16,)
 
+    def test_ffm_field_aware_sparse_matches_dense(self):
+        """FieldAwareEmbedding's (V, F, D) table goes through the same sparse
+        path: FFM trained sparse must track the dense loss trajectory."""
+        def run(sparse):
+            cfg = ExperimentConfig(
+                model=ModelConfig(name="ffm", embedding=EmbeddingConfig(dim=4)),
+                train=TrainConfig(
+                    batch_size=128, compute_dtype="float32", sparse_embedding=sparse,
+                    optimizer=OptimizerConfig(learning_rate=0.01),
+                ),
+            )
+            trainer = Trainer(cfg, INFO)
+            data = make_data()
+            state = trainer.init_state({k: v[:128] for k, v in data.items()})
+            mstate = trainer.metrics.init()
+            losses = []
+            for i in range(4):
+                b = {k: v[(i * 128) % 512 : (i * 128) % 512 + 128] for k, v in data.items()}
+                state, mstate, logs = trainer.train_step(
+                    state, trainer.device_batch(b), mstate
+                )
+                losses.append(float(logs["loss"]))
+            return state, losses
+
+        _, dense_losses = run(False)
+        state, sparse_losses = run(True)
+        np.testing.assert_allclose(sparse_losses, dense_losses, rtol=1e-4)
+        # both the shared w-table and the field-aware (V, F, D) table must be
+        # in the sparse collection
+        assert any(t.ndim == 3 for t in jax.tree.leaves(state.tables))
+
     def test_sparse_checkpoint_roundtrip(self, tmp_path):
         cfg = ExperimentConfig(
             model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=8)),

@@ -173,3 +173,67 @@ def test_used_id_l2_changes_loss(dataset):
         _, _, logs = trainer.train_step(state, trainer.device_batch(batch), mstate)
         losses[coeff] = float(logs["loss"])
     assert losses[1.0] > losses[0.0]
+
+
+def test_dmt_position_bias_pipeline(tmp_path):
+    """Display-context pipeline for DMT's position-bias towers (reference
+    8.DMR/CustomLayers.py:570-574): events carry position/page columns and a
+    chained conversion label; the bias tower only acts at train time, so eval
+    predictions must be invariant to the position column."""
+    from tpurec.data.generators import SequenceDataGenerator
+    from tpurec.data.synthetic import make_behavior_sequence_raw
+
+    raw = make_behavior_sequence_raw(
+        str(tmp_path / "raw"), n_users=120, n_items=80, n_events=3000,
+        max_history=8, n_positions=6, n_pages=2, seed=0,
+    )
+    gen = SequenceDataGenerator(
+        str(tmp_path / "gen"), raw["events_path"], max_seq_length=8,
+        context_features=("position", "page"),
+    )
+    info = gen.run_all()
+    assert "position" in info.feature_names and "page" in info.feature_names
+    assert info.label_names == ["ctr", "cvr"]
+    train = load_columnar(shard_paths(str(tmp_path / "gen"), "train"))
+    assert {"position", "page", "ctr", "cvr"} <= set(train)
+
+    from tpurec.config import OptimizerConfig
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            name="dmt",
+            params={"bias_features": ["position", "page"]},
+            embedding=EmbeddingConfig(dim=8),
+        ),
+        train=TrainConfig(
+            batch_size=128, epochs=1, loss="multi_task",
+            compute_dtype="float32", log_every_steps=0,
+            optimizer=OptimizerConfig(learning_rate=0.01),
+        ),
+    )
+    trainer = Trainer(cfg, info)
+    batch = {k: v[:128] for k, v in train.items()}
+    state = trainer.init_state(batch)
+    mstate = trainer.metrics.init()
+    for i in range(3):
+        b = {k: v[i * 128 : (i + 1) * 128] for k, v in train.items()}
+        state, mstate, logs = trainer.train_step(state, trainer.device_batch(b), mstate)
+        assert np.isfinite(float(logs["loss"]))
+    # bias tower params exist and were trained
+    assert any("bias_tower" in "/".join(p) for p in
+               _param_paths(state.params)), "bias towers missing from params"
+    # eval-time invariance: permuting the position column must not change
+    # predictions (de-biased serving scores)
+    out_a = trainer.infer(state, batch)
+    shuffled = dict(batch)
+    shuffled["position"] = np.ascontiguousarray(batch["position"][::-1])
+    out_b = trainer.infer(state, shuffled)
+    np.testing.assert_array_equal(out_a["ctr_output"], out_b["ctr_output"])
+
+
+def _param_paths(tree, prefix=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _param_paths(v, prefix + (k,))
+    else:
+        yield prefix

@@ -214,6 +214,7 @@ class SequenceDataGenerator:
         max_seq_length: int = 30,
         split_fraction: float = 0.8,
         records_per_file: int = 200_000,
+        context_features: Sequence[str] = (),
         seed: int = 0,
     ):
         self.output_path = output_path
@@ -221,13 +222,17 @@ class SequenceDataGenerator:
         self.max_seq_length = max_seq_length
         self.split_fraction = split_fraction
         self.records_per_file = records_per_file
+        # extra per-event categorical context columns (e.g. display 'position'
+        # / 'page' for the DMT de-biasing towers, 8.DMR/CustomLayers.py:570-574)
+        # encoded as their own blocks of the shared id space
+        self.context_features = list(context_features)
         self.seed = seed
         self.info: Optional[DataInfo] = None
 
     def run_all(self) -> DataInfo:
         _clean_dir(self.output_path)
         records = [json.loads(line) for line in open(self.events_path)]
-        # block layout: [pad=0 | item ids | user tags | item tags]
+        # block layout: [pad=0 | item ids | user tags | item tags | context...]
         items = sorted({r["item_id"] for r in records} | {h for r in records for h in r["history"]})
         user_tags = sorted({r["user_tag"] for r in records})
         item_tags = sorted({r["item_tag"] for r in records})
@@ -237,13 +242,26 @@ class SequenceDataGenerator:
         it_off = ut_off + len(user_tags)
         it_map = {v: i + it_off for i, v in enumerate(item_tags)}
         total = it_off + len(item_tags)
+        names = ["item_id", "user_tag", "item_tag"]
+        dims = [len(items), len(user_tags), len(item_tags)]
+        offsets = [1, ut_off, it_off]
+        maps = {"item_id": item_map, "user_tag": ut_map, "item_tag": it_map}
+        for c in self.context_features:
+            vals = sorted({r[c] for r in records})
+            maps[c] = {v: i + total for i, v in enumerate(vals)}
+            names.append(c)
+            dims.append(len(vals))
+            offsets.append(total)
+            total += len(vals)
+        # chained second label (click → conversion) when present in the log
+        has_conv = "conversion" in records[0]
         self.info = DataInfo(
-            feature_names=["item_id", "user_tag", "item_tag"],
-            feature_dims=[len(items), len(user_tags), len(item_tags)],
-            feature_offsets=[1, ut_off, it_off],
+            feature_names=names,
+            feature_dims=dims,
+            feature_offsets=offsets,
             total_dims=total,
             sequence_names=["history"],
-            label_names=["label"],
+            label_names=["ctr", "cvr"] if has_conv else ["label"],
             max_seq_length=self.max_seq_length,
             padding_index=0,
             user_features=["user_tag"],
@@ -257,12 +275,16 @@ class SequenceDataGenerator:
             h = [item_map[x] for x in r["history"][-L:]]
             hist[i, : len(h)] = h
         cols = {
-            "item_id": np.asarray([item_map[r["item_id"]] for r in records], np.int64),
-            "user_tag": np.asarray([ut_map[r["user_tag"]] for r in records], np.int64),
-            "item_tag": np.asarray([it_map[r["item_tag"]] for r in records], np.int64),
-            "history": hist,
-            "label": np.asarray([float(r["label"]) for r in records], np.float32),
+            name: np.asarray([maps[name][r[name]] for r in records], np.int64)
+            for name in names
         }
+        cols["history"] = hist
+        cols["label"] = np.asarray([float(r["label"]) for r in records], np.float32)
+        if has_conv:
+            cols["ctr"] = cols["label"]
+            cols["cvr"] = np.asarray(
+                [float(r["conversion"]) for r in records], np.float32
+            )
         is_train = rng.random(n) < self.split_fraction
         for kind, sel in (("train", is_train), ("test", ~is_train)):
             write_columnar_shards(
@@ -271,5 +293,5 @@ class SequenceDataGenerator:
             )
         self.info.save(self.output_path)
         with open(os.path.join(self.output_path, "feature_dict.json"), "w") as f:
-            json.dump({"item_id": item_map, "user_tag": ut_map, "item_tag": it_map}, f)
+            json.dump(maps, f)
         return self.info

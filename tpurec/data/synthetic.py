@@ -120,12 +120,23 @@ def make_behavior_sequence_raw(
     n_user_tags: int = 15,
     n_item_tags: int = 20,
     signal: float = 2.5,
+    n_positions: int = 0,
+    n_pages: int = 0,
+    position_bias: float = 0.35,
     seed: int = 0,
 ) -> Dict[str, str]:
     """Chapter-5-style sequence logs: each event has a candidate item, a
     clipped click-history sequence, user/item profile tags, and a label
     (schema of 5.DIN/DataGenerator.py). Users have latent interest clusters
-    so history actually predicts the label (target-attention signal)."""
+    so history actually predicts the label (target-attention signal).
+
+    With ``n_positions > 0`` each event additionally carries display-context
+    columns ``position`` (1-indexed slot) and ``page`` with a planted
+    presentation bias — clicks decay with slot index — plus a chained
+    ``conversion`` label that is NOT position-biased. This is the data model
+    the reference's DMT position-bias towers assume (8.DMR/CustomLayers.py:
+    570-574: bias logits are added to the task logits during training only).
+    """
     rng = np.random.default_rng(seed)
     os.makedirs(output_dir, exist_ok=True)
     u_tag = rng.integers(0, n_user_tags, n_users)
@@ -151,16 +162,25 @@ def make_behavior_sequence_raw(
             i = int(rng.integers(0, n_items))
             topical = user_topic[u][item_topic[i]] * n_topics  # ~1.0 mean
             s = signal * (0.7 * (topical - 1.0) + 0.3 * affinity[u_tag[u], i_tag[i]])
-            label = int(rng.random() < _sigmoid(-0.8 + s))
-            hist = histories[u]
             rec = {
                 "user_id": f"u{u}",
                 "item_id": f"i{i}",
                 "user_tag": f"ut{u_tag[u]}",
                 "item_tag": f"it{i_tag[i]}",
-                "history": [f"i{h}" for h in hist],
-                "label": label,
+                "history": [f"i{h}" for h in histories[u]],
             }
+            if n_positions > 0:
+                pos = int(rng.integers(0, n_positions))
+                page = int(rng.integers(0, max(1, n_pages)))
+                # clicks decay with slot; conversions (given click) do not
+                label = int(rng.random() < _sigmoid(-0.8 + s - position_bias * pos))
+                conv = int(label and rng.random() < _sigmoid(-0.5 + s))
+                rec["position"] = f"p{pos}"
+                rec["page"] = f"pg{page}"
+                rec["conversion"] = conv
+            else:
+                label = int(rng.random() < _sigmoid(-0.8 + s))
+            rec["label"] = label
             f.write(json.dumps(rec) + "\n")
     profile_path = os.path.join(output_dir, "item_profiles.jsonl")
     with open(profile_path, "w") as f:

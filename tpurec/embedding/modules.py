@@ -176,6 +176,27 @@ class FieldAwareEmbedding(nn.Module):
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         n_model = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
         v_pad = pad_vocab(self.vocab_size, n_model)
+        if sparse_mode_enabled():
+            # same contract as SharedEmbedding's sparse branch: the (V, F, D)
+            # table lives in 'tables' (outside optax); when the trainer
+            # supplies gathered rows (batch ids already rewritten to row
+            # positions) the lookup touches only (U, F, D).
+            table_var = self.variable(
+                "tables",
+                "embedding",
+                uniform_init(self.init_scale),
+                self.make_rng("params") if self.has_rng("params") else None,
+                (v_pad, self.num_fields, self.dim),
+                self.param_dtype,
+            )
+            if self.has_variable("sparse_rows", "embedding"):
+                rows = self.get_variable("sparse_rows", "embedding")
+                out = jnp.take(rows, ids, axis=0)
+            else:  # eval / serving
+                out = jnp.take(table_var.value, ids, axis=0)
+            if self.dtype is not None:
+                out = out.astype(self.dtype)
+            return out
         table = self.param(
             "embedding",
             nn.with_partitioning(uniform_init(self.init_scale), (MODEL_AXIS, None, None)),

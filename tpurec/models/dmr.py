@@ -200,13 +200,16 @@ class DMT(nn.Module):
             mixed = jnp.einsum("be,beh->bh", gate, experts)
             h = MLP(self.tower_dims, dtype=self.dtype, name=f"{task}_tower")(mixed, train=train)
             logit = nn.Dense(1, dtype=self.dtype, name=f"{task}_head")(h).reshape(-1).astype(jnp.float32)
-            # position-bias tower: train-time only de-biasing
-            if train and self.bias_features:
+            # position-bias tower: params always exist (init runs with
+            # train=False), but the bias logit is only ADDED during training —
+            # serving scores stay de-biased (reference :570-574)
+            if self.bias_features:
                 bias_in = emb(stack_ids(inputs, list(self.bias_features)))
                 bias_in = bias_in.reshape(bias_in.shape[0], -1)
                 bias = MLP((16, 1), out_activation="linear", dtype=self.dtype,
                            name=f"{task}_bias_tower")(bias_in, train=train)
-                logit = logit + bias.reshape(-1).astype(jnp.float32)
+                if train:
+                    logit = logit + bias.reshape(-1).astype(jnp.float32)
             out[f"{task}_logit"] = logit
             out[f"{task}_output"] = nn.sigmoid(logit)
         return out
