@@ -179,3 +179,71 @@ class TestSparseTrainer:
         restored = trainer.restore(state)
         for a, b in zip(jax.tree.leaves(state.tables), jax.tree.leaves(restored.tables)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRowwiseAdagrad:
+    def test_math_vs_dense_reference(self):
+        """sparse_rowwise_adagrad on touched rows == dense row-wise Adagrad
+        (numpy reference); untouched rows and accumulators unchanged."""
+        from tpurec.embedding.sparse import init_sparse_adagrad, sparse_rowwise_adagrad
+
+        rng = np.random.default_rng(2)
+        table = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+        grad_dense = np.zeros((32, 8), np.float32)
+        touched = np.array([1, 9, 17])
+        grad_dense[touched] = rng.normal(size=(3, 8))
+        lr, eps = 0.05, 1e-10
+        # dense numpy reference
+        acc = np.zeros(32, np.float32) + np.mean(grad_dense**2, axis=1)
+        expect = np.asarray(table) - (
+            lr / np.sqrt(acc + eps)
+        )[:, None] * grad_dense
+        ids = jnp.asarray(np.repeat(touched, 3))
+        uniq = unique_fixed(ids, pad_id=31)
+        grad_rows = jnp.asarray(grad_dense)[uniq]
+        out, opt = sparse_rowwise_adagrad(
+            table, init_sparse_adagrad(table), uniq, grad_rows, lr, eps
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[touched], expect[touched], rtol=1e-5
+        )
+        untouched = [i for i in range(31) if i not in touched]
+        np.testing.assert_array_equal(
+            np.asarray(out)[untouched], np.asarray(table)[untouched]
+        )
+        np.testing.assert_array_equal(np.asarray(opt.acc)[untouched], 0.0)
+
+    def test_trainer_converges_and_roundtrips(self, tmp_path):
+        """FM trained with embedding_optimizer='rowwise_adagrad': loss falls,
+        optimizer memory is O(V), checkpoint roundtrips the accumulator."""
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=8)),
+            train=TrainConfig(
+                batch_size=128, compute_dtype="float32", sparse_embedding=True,
+                checkpoint_dir=str(tmp_path),
+                optimizer=OptimizerConfig(
+                    learning_rate=0.1, embedding_optimizer="rowwise_adagrad"
+                ),
+            ),
+        )
+        trainer = Trainer(cfg, INFO)
+        data = make_data()
+        state = trainer.init_state({k: v[:128] for k, v in data.items()})
+        mstate = trainer.metrics.init()
+        losses = []
+        for i in range(8):
+            b = {k: v[(i * 128) % 512 : (i * 128) % 512 + 128] for k, v in data.items()}
+            state, mstate, logs = trainer.train_step(
+                state, trainer.device_batch(b), mstate
+            )
+            losses.append(float(logs["loss"]))
+        assert np.mean(losses[-2:]) < np.mean(losses[:2])
+        # O(V) accumulators: every moment leaf is 1-D
+        accs = jax.tree.leaves(state.table_opt)
+        tables = jax.tree.leaves(state.tables)
+        assert all(a.ndim == 1 for a in accs)
+        assert sum(a.size for a in accs) < sum(t.size for t in tables) / 2
+        trainer.save(state)
+        restored = trainer.restore(state)
+        for a, b in zip(jax.tree.leaves(state.table_opt), jax.tree.leaves(restored.table_opt)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

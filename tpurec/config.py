@@ -99,6 +99,10 @@ class OptimizerConfig(_Base):
     eps: float = 1e-7  # keras Adam default epsilon (reference parity)
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0  # 0 = off
+    # sparse-embedding-mode table optimizer: 'adam' (dense-Adam-parity math,
+    # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
+    # row, O(V) optimizer memory - the production-embedding trade)
+    embedding_optimizer: str = "adam"
 
 
 @dataclass(frozen=True)

@@ -92,6 +92,46 @@ def init_sparse_adam(table: jnp.ndarray) -> SparseAdamState:
     return SparseAdamState(jnp.zeros_like(table), jnp.zeros_like(table))
 
 
+class SparseAdagradState(NamedTuple):
+    """Row-wise Adagrad: ONE fp32 accumulator per row — O(V) optimizer memory
+    vs Adam's O(2·V·D) moments (the standard production-embedding trade, used
+    by the TPU embedding APIs / DLRM). At D=64 this is ~128× less optimizer
+    HBM than dense Adam moments."""
+
+    acc: jnp.ndarray  # (V,) per-row sum of mean-squared gradients
+
+
+def init_sparse_adagrad(table: jnp.ndarray, initial: float = 0.0) -> SparseAdagradState:
+    return SparseAdagradState(
+        jnp.full((table.shape[0],), initial, jnp.float32)
+    )
+
+
+def sparse_rowwise_adagrad(
+    table: jnp.ndarray,
+    opt: SparseAdagradState,
+    uniq: jnp.ndarray,  # (U,) sorted unique ids (with pad duplicates)
+    grad_rows: jnp.ndarray,  # (U, ...) gradient for those rows
+    lr: float,
+    eps: float = 1e-10,
+) -> Tuple[jnp.ndarray, SparseAdagradState]:
+    """Row-wise Adagrad on the touched rows: the accumulator tracks the mean
+    squared gradient over each row's D (and field) dims, so every element of
+    a row shares one adaptive scale. O(U·D) traffic + O(U) accumulator I/O.
+    """
+    g32 = grad_rows.astype(jnp.float32)
+    reduce_axes = tuple(range(1, g32.ndim))
+    g2 = jnp.mean(jnp.square(g32), axis=reduce_axes)  # (U,)
+    acc_rows = jnp.take(opt.acc, uniq, axis=0) + g2
+    scale = (lr / jnp.sqrt(acc_rows + eps)).reshape(
+        (-1,) + (1,) * (g32.ndim - 1)
+    )
+    rows = jnp.take(table, uniq, axis=0) - (scale * g32).astype(table.dtype)
+    return table.at[uniq].set(rows), SparseAdagradState(
+        opt.acc.at[uniq].set(acc_rows)
+    )
+
+
 def sparse_adam(
     table: jnp.ndarray,
     opt: SparseAdamState,

@@ -234,10 +234,15 @@ class Trainer:
         model_state.pop("regularization", None)
         tables = table_opt = None
         if self.config.train.sparse_embedding:
-            from tpurec.embedding.sparse import init_sparse_adam
+            from tpurec.embedding.sparse import init_sparse_adagrad, init_sparse_adam
 
+            init_opt = (
+                init_sparse_adagrad
+                if self.config.train.optimizer.embedding_optimizer == "rowwise_adagrad"
+                else init_sparse_adam
+            )
             tables = model_state.pop("tables")
-            table_opt = jax.tree.map(init_sparse_adam, tables)
+            table_opt = jax.tree.map(init_opt, tables)
         opt_state = self.tx.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -273,8 +278,10 @@ class Trainer:
 
     def _build_sparse_train_step(self) -> Callable:
         from tpurec.embedding.sparse import (
+            SparseAdagradState,
             SparseAdamState,
             sparse_adam,
+            sparse_rowwise_adagrad,
             unique_with_positions,
         )
 
@@ -342,17 +349,21 @@ class Trainer:
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_step = state.step + 1
-            # row-sparse Adam per table
+            # row-sparse optimizer per table (adam | rowwise_adagrad)
             flat_tables, treedef = jax.tree_util.tree_flatten(state.tables)
             flat_grads = jax.tree.leaves(grad_rows)
             flat_opt = jax.tree_util.tree_flatten(
-                state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
+                state.table_opt,
+                is_leaf=lambda x: isinstance(x, (SparseAdamState, SparseAdagradState)),
             )[0]
             new_tables, new_opts = [], []
             for t, g, o in zip(flat_tables, flat_grads, flat_opt):
-                nt, no = sparse_adam(
-                    t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
-                )
+                if isinstance(o, SparseAdagradState):
+                    nt, no = sparse_rowwise_adagrad(t, o, uniq, g, oc.learning_rate)
+                else:
+                    nt, no = sparse_adam(
+                        t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
+                    )
                 new_tables.append(nt)
                 new_opts.append(no)
             tables = jax.tree_util.tree_unflatten(treedef, new_tables)
