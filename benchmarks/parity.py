@@ -133,7 +133,14 @@ def main():
     models = args.models.split(",")
     n_events = 60_000 if args.quick else 600_000
     epochs = 3 if args.quick else 12
+    # merge into prior results so partial re-runs keep other entries
     results = {}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = json.load(f)
+        except Exception:
+            results = {}
 
     root = tempfile.mkdtemp(prefix="parity_")
     if {"fm", "deepfm", "dssm"} & set(models):
@@ -142,7 +149,7 @@ def main():
             _, _, rep = run_ranking("fm", info, train, test, epochs, lr=0.01)
             results["fm"] = {"eval_auc": rep["best_eval"]["auc"], "target": 0.59,
                              "note": "reference FM is on weak-signal DCN data (0.5879); "
-                                     "same-generator oracle here is 0.92-class",
+                                     "same-generator oracle here is ~0.94",
                              "seconds": rep["train_seconds"]}
         if "deepfm" in models:
             _, _, rep = run_ranking("deepfm", info, train, test, epochs, lr=0.005)
@@ -154,8 +161,10 @@ def main():
             # apples-to-apples parity metric. recall@100 is our own extra
             # (the synthetic task's ORACLE recall@100 is only ≈0.25: items
             # are tag-level substitutable, see benchmarks/notes).
+            # cosine-bounded outputs converge slower than logit models under
+            # BCE — give the tower model the same doubled budget as DIN
             state, trainer, rep = run_ranking(
-                "dssm_double", info, train, test, epochs, lr=0.005, loss="bce",
+                "dssm_double", info, train, test, epochs * 2, lr=0.005, loss="bce",
             )
             recall = bench_dssm_recall(trainer, state, info, test)
             results["dssm"] = {
@@ -198,7 +207,12 @@ def main():
         _, _, rep = run_ranking("din", info, train, test, epochs * 2, lr=0.01)
         results["din"] = {
             "eval_auc": rep["best_eval"]["auc"],
-            "oracle_auc": 0.887,
+            # latent oracle scores with the TRUE user-topic vector; a model
+            # only observes the ≤30-item sampled history — an LR given the
+            # ground-truth item topics + the observable history caps at ~0.856
+            # (measured), which is the fair ceiling for any learned model
+            "latent_oracle_auc": 0.890,
+            "observable_ceiling_auc": 0.856,
             "seconds": rep["train_seconds"],
         }
     results["_meta"] = {
