@@ -237,3 +237,31 @@ def _param_paths(tree, prefix=()):
             yield from _param_paths(v, prefix + (k,))
     else:
         yield prefix
+
+
+def test_eval_every_steps_mid_epoch(dataset, tmp_path):
+    """TrainConfig.eval_every_steps: mid-epoch evals write eval scalars at
+    step granularity and keep-best checkpoints fire mid-epoch."""
+    info = dataset["info"]
+    cfg = _config("fm", tmpdir=str(tmp_path), epochs=1, eval_every_steps=10)
+    trainer = Trainer(cfg, info)
+    train = {k: v[:5120] for k, v in dataset["train"].items()}
+    test = {k: v[:1024] for k, v in dataset["test"].items()}
+    tb = str(tmp_path / "tb")
+    cfg = cfg.replace(train=cfg.train.replace(tensorboard_dir=tb))
+    trainer = Trainer(cfg, info)
+    state, report = trainer.run(
+        lambda: iter(ArrayLoader(train, 256, seed=1)),
+        lambda: iter(ArrayLoader(test, 256, shuffle=False)),
+    )
+    # 20 steps/epoch → mid-epoch evals at steps 10 and 20 plus the epoch-end
+    # one: the eval/auc scalar stream must have ≥2 distinct steps
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(tb)
+    acc.Reload()
+    steps = {e.step for e in acc.Scalars("eval/auc")}
+    assert len(steps) >= 2, steps
+    assert trainer.ckpt.latest_step() is not None

@@ -489,11 +489,13 @@ class Trainer:
         batches: Iterable[Dict[str, np.ndarray]],
         writer=None,
         epoch: int = 0,
+        eval_hook: Optional[Callable[[TrainState], None]] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         writer = writer or NullSummaryWriter()
         metric_state = self.metrics.init()
         cfg = self.config.train
         log_every = cfg.log_every_steps
+        eval_every = cfg.eval_every_steps
         profiling = False
         t0 = time.time()
         n = 0
@@ -509,6 +511,8 @@ class Trainer:
                     profiling = False
             batch = self.device_batch(batch)
             state, metric_state, logs = self.train_step(state, batch, metric_state)
+            if eval_hook is not None and eval_every and n % eval_every == 0:
+                eval_hook(state)
             if log_every and n % log_every == 0:
                 results = {k: float(v) for k, v in self.metrics.result(metric_state).items()}
                 step = int(state.step)
@@ -568,8 +572,27 @@ class Trainer:
         )
         history = []
         best_eval: Dict[str, float] = {}
+        # mid-epoch eval (TrainConfig.eval_every_steps > 0): logs eval scalars
+        # and keeps the best checkpoint at step granularity; early stopping
+        # still decides on epoch-end evals
+        best_mid = [-np.inf]
+
+        def eval_hook(s: TrainState) -> None:
+            res = self.evaluate(s, eval_data())
+            step = int(s.step)
+            for k, v in res.items():
+                writer.scalar(f"eval/{k}", v, step)
+            metric = self._selection_metric(res)
+            if metric > best_mid[0]:
+                best_mid[0] = metric
+                if self.ckpt is not None:
+                    self.save(s)
+
+        hook = eval_hook if cfg.eval_every_steps > 0 else None
         for epoch in range(cfg.epochs):
-            state, train_results = self.train_epoch(state, train_data(), writer, epoch)
+            state, train_results = self.train_epoch(
+                state, train_data(), writer, epoch, eval_hook=hook
+            )
             eval_results = self.evaluate(state, eval_data())
             for k, v in eval_results.items():
                 writer.scalar(f"eval/{k}", v, int(state.step))
@@ -577,6 +600,7 @@ class Trainer:
             history.append({"epoch": epoch, "train": train_results, "eval": eval_results})
             print(f"epoch {epoch} eval: " + " ".join(f"{k}={v:.4f}" for k, v in eval_results.items()))
             metric = self._selection_metric(eval_results)
+            best_mid[0] = max(best_mid[0], metric)  # keep the two best-trackers in sync
             cont = stopper.is_continuable(metric)
             if stopper.is_new_best:
                 best_eval = eval_results
