@@ -81,10 +81,10 @@ def test_cin_shapes_and_naive_first_level():
     v = net.init(jax.random.key(0), emb)
     out = net.apply(v, emb)
     assert out.shape == (2, 8)
-    # first level: z = outer(emb, emb) compressed by conv kernel (1, H*F, size)
-    kernel = np.asarray(v["params"]["compress_0"]["kernel"])  # (1, 16, 5)
+    # first level: z = outer(emb, emb) compressed by the (H*F, size) matrix
+    kernel = np.asarray(v["params"]["compress_0"])  # (16, 5)
     z = np.einsum("bhd,bfd->bhfd", emb, emb).reshape(2, 16, 6)
-    level1 = np.einsum("bkd,ks->bsd", z, kernel[0])
+    level1 = np.einsum("bkd,ks->bsd", z, kernel)
     np.testing.assert_allclose(np.asarray(out)[:, :5], level1.sum(-1), rtol=1e-4)
 
 

@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 from tpurec.ops.pallas.kernels import (
+    cin_fused,
+    cin_reference,
     cross_network_reference,
     cross_network_stack,
     din_attention_fused,
@@ -14,6 +16,37 @@ from tpurec.ops.pallas.kernels import (
     fm_second_order_fused,
     fm_second_order_reference,
 )
+
+
+class TestCinKernel:
+    def _data(self, b=16, f=5, d=8, sizes=(6, 4), seed=7):
+        rng = np.random.default_rng(seed)
+        emb = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+        h = f
+        weights = []
+        for s in sizes:
+            weights.append(jnp.asarray(rng.normal(size=(h * f, s)).astype(np.float32) * 0.2))
+            h = s
+        return emb, tuple(weights)
+
+    @pytest.mark.parametrize("b", [16, 13])  # 13 → padding path
+    def test_matches_reference(self, b):
+        emb, weights = self._data(b=b)
+        got = cin_fused(emb, weights, interpret=True)
+        want = cin_reference(emb, weights)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+    def test_gradients(self):
+        emb, weights = self._data(b=8, f=4, d=4, sizes=(5, 3))
+        g1 = jax.grad(
+            lambda e, w: jnp.sum(cin_fused(e, w, interpret=True) ** 2), argnums=(0, 1)
+        )(emb, weights)
+        g2 = jax.grad(lambda e, w: jnp.sum(cin_reference(e, w) ** 2), argnums=(0, 1))(
+            emb, weights
+        )
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), rtol=1e-4, atol=1e-5)
+        for x, y in zip(g1[1], g2[1]):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
 
 
 class TestFMKernel:

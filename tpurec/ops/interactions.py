@@ -180,9 +180,10 @@ class CIN(nn.Module):
     raw fields (reference CINLayer split/matmul/conv1d at
     3.DCN/CustomLayers.py:377-417; einsum variant NewCINLayer :420-448).
 
-    Implemented as one einsum per level: z = einsum('bhd,bfd->bhfd') reshaped,
-    then a Dense over (h*f). Returns the concatenated per-level sum-pooled
-    features (B, Σ layer_sizes).
+    All levels run in one fused Pallas kernel on TPU (the per-level
+    (B, H·F, D) outer-product tensor stays in VMEM; the unfused path
+    round-trips it through HBM every level); pure-JAX einsum reference
+    elsewhere and for the backward pass.
     """
 
     layer_sizes: Tuple[int, ...] = (128, 128)
@@ -190,22 +191,24 @@ class CIN(nn.Module):
 
     @nn.compact
     def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        from tpurec.ops.pallas.kernels import cin_fused, cin_reference, pallas_available
+
         b, f, d = emb.shape
-        x = emb
-        outputs = []
+        h = f
+        weights = []
         for i, size in enumerate(self.layer_sizes):
-            h = x.shape[1]
-            z = jnp.einsum("bhd,bfd->bhfd", x, emb).reshape(b, h * f, d)
-            x = nn.Conv(
-                features=size,
-                kernel_size=(1,),
-                use_bias=False,
-                dtype=self.dtype,
-                name=f"compress_{i}",
-            )(jnp.swapaxes(z, 1, 2))  # (B, D, size)
-            x = jnp.swapaxes(x, 1, 2)  # (B, size, D)
-            outputs.append(jnp.sum(x, axis=-1))  # (B, size)
-        return jnp.concatenate(outputs, axis=-1)
+            w = self.param(
+                f"compress_{i}", nn.initializers.glorot_uniform(), (h * f, size), jnp.float32
+            )
+            weights.append(w)
+            h = size
+        # fused kernel needs lane-aligned level sizes (the (F, S) split keeps
+        # S as the lane dim; Mosaic rejects non-128-multiple lane reshapes)
+        fused_ok = pallas_available() and all(s % 128 == 0 for s in self.layer_sizes)
+        fn = cin_fused if fused_ok else cin_reference
+        return fn(emb.astype(jnp.float32), tuple(weights)).astype(
+            self.dtype or emb.dtype
+        )
 
 
 class AFMInteraction(nn.Module):

@@ -168,6 +168,99 @@ cross_network_stack.defvjp(_cross_fwd, _cross_bwd)
 
 
 # ===========================================================================
+# CIN (xDeepFM compressed interaction) — all levels fused in one kernel
+def cin_reference(emb: jnp.ndarray, weights: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
+    """Pure-JAX CIN: per level z = outer(x, emb) over fields, compressed by
+    w_l (H_l*F, S_l); returns concatenated sum-pooled maps (B, Σ S_l).
+    Reference math: CINLayer 3.DCN/CustomLayers.py:377-417."""
+    b, f, d = emb.shape
+    x = emb
+    outs = []
+    for w in weights:
+        h = x.shape[1]
+        z = jnp.einsum("bhd,bfd->bhfd", x, emb).reshape(b, h * f, d)
+        x = jnp.einsum("bpd,ps->bsd", z, w)
+        outs.append(jnp.sum(x, axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _cin_kernel(emb_ref, *refs):
+    out_ref = refs[-1]
+    w_refs = refs[:-1]
+    e = emb_ref[:].astype(jnp.float32)  # (Bt, D, F) — field-last layout
+    bt, d, f = e.shape
+    x = e
+    offset = 0
+    for w_ref in w_refs:  # static unroll — level count is small (2-3)
+        # w prepacked as (H, F*S): w2[h, f*S+s] = W[h*F+f, s]. Contract H
+        # first (one MXU matmul), then split (F, S) — the last dim stays S
+        # (lane-aligned; Mosaic rejects collapsing (H, F) sublane dims) —
+        # and reduce over F against the raw fields:
+        #   next[b,d,s] = Σ_f e[b,d,f] · (Σ_h x[b,d,h] W[h,f,s])
+        w = w_ref[:].astype(jnp.float32)
+        s = w.shape[1] // f
+        t = jax.lax.dot_general(
+            x, w, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(bt, d, f, s)
+        # Σ_f unrolled on 3-D tiles via range slices (Mosaic mis-lays-out the
+        # 4-D reduction, and integer indexing lowers to an unsupported gather)
+        x = None
+        for i in range(f):
+            ti = t[:, :, i : i + 1, :].reshape(bt, d, s)
+            ei = e[:, :, i : i + 1]  # (Bt, D, 1)
+            x = ei * ti if x is None else x + ei * ti  # (Bt, D, S)
+        out_ref[:, offset : offset + s] = jnp.sum(x, axis=1)
+        offset += s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def cin_fused(
+    emb: jnp.ndarray,
+    weights: Tuple[jnp.ndarray, ...],
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-level CIN. The (B, H·F, D) outer-product tensor of every
+    level lives only in VMEM per batch tile — the unfused XLA path round-trips
+    it through HBM once per level (≈ B·H·F·D·4 bytes each way)."""
+    b, f, d = emb.shape
+    total_s = int(sum(int(w.shape[1]) for w in weights))
+    bb = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, bb)
+    emb_t = jnp.swapaxes(emb, 1, 2)  # (B, D, F)
+    if b_pad != b:
+        emb_t = jnp.pad(emb_t, ((0, b_pad - b), (0, 0), (0, 0)))
+    # prepack each (H*F, S) weight as (H, F*S) for the H-first contraction
+    packed = [w.reshape(w.shape[0] // f, f * w.shape[1]) for w in weights]
+    out = pl.pallas_call(
+        _cin_kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, total_s), jnp.float32),
+        grid=(b_pad // bb,),
+        in_specs=[pl.BlockSpec((bb, d, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for w in packed
+        ],
+        out_specs=pl.BlockSpec((bb, total_s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(emb_t, *packed)
+    return out[:b].astype(emb.dtype)
+
+
+def _cin_fwd(emb, weights, block_b, interpret):
+    return cin_fused(emb, weights, block_b, interpret), (emb, weights)
+
+
+def _cin_bwd(block_b, interpret, res, g):
+    emb, weights = res
+    _, vjp = jax.vjp(cin_reference, emb.astype(jnp.float32), tuple(weights))
+    return vjp(g.astype(jnp.float32))
+
+
+cin_fused.defvjp(_cin_fwd, _cin_bwd)
+
+
+# ===========================================================================
 # DIN activation-unit attention, fully fused
 def din_attention_reference(
     query: jnp.ndarray,  # (B, D)
