@@ -110,7 +110,9 @@ def test_din_end_to_end_sequence_pipeline(tmp_path):
         ),
         train=TrainConfig(
             batch_size=256, epochs=4, log_every_steps=0, compute_dtype="float32",
-            optimizer=OptimizerConfig(learning_rate=0.02),
+            # two parallel series double the behavior-block width; 0.005 is
+            # stable where 0.02 oscillated (measured: 0.637 vs 0.595 @ epoch 4)
+            optimizer=OptimizerConfig(learning_rate=0.005),
         ),
     )
     trainer = Trainer(cfg, info)
@@ -119,6 +121,6 @@ def test_din_end_to_end_sequence_pipeline(tmp_path):
         lambda: iter(ArrayLoader(test, 256, shuffle=False)),
     )
     # oracle AUC of this generator is ≈0.89; DIN passes 0.62 by epoch 4 and
-    # keeps climbing (≈0.70 @ epoch 8) — full-convergence parity is checked
+    # keeps climbing — full-convergence parity is checked
     # by the benchmark harness, not unit tests
     assert report["best_eval"]["auc"] > 0.62, report

@@ -207,6 +207,12 @@ class SequenceDataGenerator:
     5.DIN/ModelManager.py:58-67).
     """
 
+    #: default parallel-series layout: each series column encodes through the
+    #: feature block of its aligned candidate feature (reference pairs
+    #: behavior_series_features 1:1 with item_categorical_features,
+    #: 6.MIND/CustomLayers.py:162-172)
+    DEFAULT_SEQUENCE_SPECS = {"history": "item_id", "history_tags": "item_tag"}
+
     def __init__(
         self,
         output_path: str,
@@ -215,6 +221,7 @@ class SequenceDataGenerator:
         split_fraction: float = 0.8,
         records_per_file: int = 200_000,
         context_features: Sequence[str] = (),
+        sequence_specs: Optional[Dict[str, str]] = None,
         seed: int = 0,
     ):
         self.output_path = output_path
@@ -226,16 +233,34 @@ class SequenceDataGenerator:
         # / 'page' for the DMT de-biasing towers, 8.DMR/CustomLayers.py:570-574)
         # encoded as their own blocks of the shared id space
         self.context_features = list(context_features)
+        # {series column: feature block} — series present in the log but not
+        # named here are ignored; None = DEFAULT_SEQUENCE_SPECS filtered to
+        # the columns actually present
+        self.sequence_specs = sequence_specs
         self.seed = seed
         self.info: Optional[DataInfo] = None
 
     def run_all(self) -> DataInfo:
         _clean_dir(self.output_path)
         records = [json.loads(line) for line in open(self.events_path)]
+        specs = self.sequence_specs
+        if specs is None:
+            specs = {
+                s: f for s, f in self.DEFAULT_SEQUENCE_SPECS.items() if s in records[0]
+            }
         # block layout: [pad=0 | item ids | user tags | item tags | context...]
-        items = sorted({r["item_id"] for r in records} | {h for r in records for h in r["history"]})
+        # each feature block's vocabulary covers both the candidate column and
+        # every history series encoded through it
+        def block_values(feature: str) -> set:
+            vals = {r[feature] for r in records}
+            for series, feat in specs.items():
+                if feat == feature:
+                    vals |= {h for r in records for h in r[series]}
+            return vals
+
+        items = sorted(block_values("item_id"))
         user_tags = sorted({r["user_tag"] for r in records})
-        item_tags = sorted({r["item_tag"] for r in records})
+        item_tags = sorted(block_values("item_tag"))
         item_map = {v: i + 1 for i, v in enumerate(items)}
         ut_off = 1 + len(items)
         ut_map = {v: i + ut_off for i, v in enumerate(user_tags)}
@@ -260,7 +285,8 @@ class SequenceDataGenerator:
             feature_dims=dims,
             feature_offsets=offsets,
             total_dims=total,
-            sequence_names=["history"],
+            sequence_names=list(specs),
+            sequence_query_features=[specs[s] for s in specs],
             label_names=["ctr", "cvr"] if has_conv else ["label"],
             max_seq_length=self.max_seq_length,
             padding_index=0,
@@ -270,15 +296,17 @@ class SequenceDataGenerator:
         rng = np.random.default_rng(self.seed)
         L = self.max_seq_length
         n = len(records)
-        hist = np.zeros((n, L), np.int64)
-        for i, r in enumerate(records):
-            h = [item_map[x] for x in r["history"][-L:]]
-            hist[i, : len(h)] = h
         cols = {
             name: np.asarray([maps[name][r[name]] for r in records], np.int64)
             for name in names
         }
-        cols["history"] = hist
+        for series, feat in specs.items():
+            fmap = maps[feat]
+            hist = np.zeros((n, L), np.int64)
+            for i, r in enumerate(records):
+                h = [fmap[x] for x in r[series][-L:]]
+                hist[i, : len(h)] = h
+            cols[series] = hist
         cols["label"] = np.asarray([float(r["label"]) for r in records], np.float32)
         if has_conv:
             cols["ctr"] = cols["label"]

@@ -33,6 +33,10 @@ class DataInfo:
     # extensions beyond the reference contract
     continuous_names: List[str] = field(default_factory=list)
     sequence_names: List[str] = field(default_factory=list)  # (B, L) id features
+    # candidate-side categorical feature aligned 1:1 with each sequence (the
+    # reference pairs item_categorical_features with behavior_series_features,
+    # 6.MIND/CustomLayers.py:162-172); empty = ['item_id'] legacy single series
+    sequence_query_features: List[str] = field(default_factory=list)
     label_names: List[str] = field(default_factory=list)
     max_seq_length: int = 0
     padding_index: int = 0

@@ -140,6 +140,12 @@ def make_behavior_sequence_raw(
     (schema of 5.DIN/DataGenerator.py). Users have latent interest clusters
     so history actually predicts the label (target-attention signal).
 
+    Each event carries PARALLEL behavior series — the item-id history plus
+    the aligned item-tag history (``history_tags``) — matching the
+    reference's multi-series data model (visited_goods_ids /
+    visited_shop_ids / visited_cate_ids, 5.DIN/ModelManager.py:13-20,
+    6.MIND/CustomLayers.py:162-172).
+
     With ``n_positions > 0`` each event additionally carries display-context
     columns ``position`` (1-indexed slot) and ``page`` with a planted
     presentation bias — clicks decay with slot index — plus a chained
@@ -178,6 +184,7 @@ def make_behavior_sequence_raw(
                 "user_tag": f"ut{u_tag[u]}",
                 "item_tag": f"it{i_tag[i]}",
                 "history": [f"i{h}" for h in histories[u]],
+                "history_tags": [f"it{i_tag[h]}" for h in histories[u]],
             }
             if n_positions > 0:
                 pos = int(rng.integers(0, n_positions))

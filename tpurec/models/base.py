@@ -54,3 +54,15 @@ def sequence_mask(seq_ids: Array, padding_index: int = 0) -> Array:
     """(B, L) float mask, 1 where the step is a real id (reference builds the
     same mask from the padding index, 5.DIN/CustomLayers.py:256)."""
     return (seq_ids != padding_index).astype(jnp.float32)
+
+
+def embed_series(emb, inputs: Inputs, names: Sequence[str], padding_index: int = 0):
+    """Concat-embed parallel behavior series into one (B, L, F·D) block with
+    the (B, L) mask from the first series (all series are aligned per event —
+    the reference stacks its behavior_series_features the same way,
+    6.MIND/CustomLayers.py:199-240, 5.DIN/CustomLayers.py:258-263)."""
+    seqs = [inputs[n] for n in names]
+    mask = sequence_mask(seqs[0], padding_index)
+    embs = [emb(s) for s in seqs]  # each (B, L, D)
+    keys = jnp.concatenate(embs, axis=-1) if len(embs) > 1 else embs[0]
+    return keys, mask

@@ -192,6 +192,8 @@ def _seq_params(params: dict, info: DataInfo) -> dict:
     out.setdefault("user_features", list(info.user_features))
     out.setdefault("item_features", list(info.item_features))
     out.setdefault("sequence_features", list(info.sequence_names))
+    if info.sequence_query_features:
+        out.setdefault("query_features", list(info.sequence_query_features))
     out.setdefault("vocab_size", info.total_dims)
     out.setdefault("padding_index", info.padding_index)
     return out
@@ -217,6 +219,8 @@ def _retrieval_params(params: dict, info: DataInfo) -> dict:
     out = dict(params)
     out.setdefault("user_features", list(info.user_features))
     out.setdefault("sequence_features", list(info.sequence_names))
+    if info.sequence_query_features:
+        out.setdefault("query_features", list(info.sequence_query_features))
     out.setdefault("vocab_size", info.total_dims)
     out.setdefault("padding_index", info.padding_index)
     return out

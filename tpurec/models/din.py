@@ -122,6 +122,10 @@ class DIEN(_SeqBase):
         h = MLP(self.hidden_dims, dtype=self.dtype, name="mlp")(x, train=train)
         logit = nn.Dense(1, dtype=self.dtype, name="head")(h)
         out = binary_output(logit)
+        # pre-head feature vector (reference X_combined) so SIM/CAN can
+        # compose DIEN as a (frozen, pretrained) trunk — the reference ESU/CAN
+        # consume dien_output the same way (7.SIM/CustomLayers.py:155-157,425)
+        out["trunk_features"] = x
         if train and self.aux_weight > 0:
             out["auxiliary_loss"] = self.aux_weight * self._aux_loss(
                 interests, keys, mask

@@ -28,6 +28,7 @@ from tpurec.models.base import (
     Inputs,
     Outputs,
     binary_output,
+    embed_series,
     sequence_mask,
     stack_ids,
 )
@@ -71,9 +72,9 @@ class DMR(nn.Module):
         profile = emb(profile_ids).reshape(profile_ids.shape[0], -1)
         query = emb(stack_ids(inputs, list(self.query_features)))
         query = query.reshape(query.shape[0], -1)
-        seq_ids = inputs[self.sequence_features[0]]
-        mask = sequence_mask(seq_ids, self.padding_index)
-        keys = emb(seq_ids)  # (B, L, D)
+        keys, mask = embed_series(
+            emb, inputs, list(self.sequence_features), self.padding_index
+        )  # (B, L, F·D)
         b, l, d = keys.shape
         pos = LearnedPositionEmbedding(l, d, dtype=self.dtype, name="pos")(l)
         # ---- I2I attention
@@ -290,9 +291,9 @@ class SDIM(nn.Module):
         profile = emb(profile_ids).reshape(profile_ids.shape[0], -1)
         query = emb(stack_ids(inputs, list(self.query_features)))
         query = query.reshape(query.shape[0], -1)
-        seq_ids = inputs[self.sequence_features[0]]
-        mask = sequence_mask(seq_ids, self.padding_index)
-        keys = emb(seq_ids)
+        keys, mask = embed_series(
+            emb, inputs, list(self.sequence_features), self.padding_index
+        )
         b, l, d = keys.shape
         projections = self.variable(
             "constants",

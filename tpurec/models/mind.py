@@ -19,17 +19,21 @@ from flax import linen as nn
 from jax.sharding import Mesh
 
 from tpurec.embedding.modules import SharedEmbedding
-from tpurec.models.base import Inputs, Outputs, sequence_mask, stack_ids
+from tpurec.models.base import Inputs, Outputs, embed_series, sequence_mask, stack_ids
 from tpurec.ops.attention import MultiHeadAttention, scaled_dot_attention, expand_mask
 from tpurec.ops.capsule import CapsuleRouting, LabelAwareAttention
 from tpurec.ops.mlp import MLP
-from tpurec.ops.sequence import MaskedGRU, sinusoidal_positions
+from tpurec.ops.sequence import MaskedGRU, MaskedLSTM, sinusoidal_positions
 
 
 class _RetrievalBase(nn.Module):
     user_features: Sequence[str]
     sequence_features: Sequence[str]
-    item_key: str = "item_id"
+    # candidate features aligned 1:1 with sequence_features so the target item
+    # embeds into the same (F·D) space as each behavior step (reference pairs
+    # item_categorical_features with behavior_series_features,
+    # 6.MIND/CustomLayers.py:162-172)
+    query_features: Sequence[str] = ("item_id",)
     vocab_size: int = 0
     embed_dim: int = 16
     padding_index: int = 0
@@ -42,8 +46,15 @@ class _RetrievalBase(nn.Module):
         )
 
     def _behavior(self, emb, inputs):
-        seq = inputs[self.sequence_features[0]]
-        return emb(seq), sequence_mask(seq, self.padding_index)
+        """(B, L, F·D) concat-embedded parallel series + (B, L) mask."""
+        return embed_series(
+            emb, inputs, list(self.sequence_features), self.padding_index
+        )
+
+    def _target(self, emb, inputs):
+        """(B, F·D) candidate embedding aligned with the behavior block."""
+        e = emb(stack_ids(inputs, list(self.query_features)))
+        return e.reshape(e.shape[0], -1)
 
     def _profile_vec(self, emb, inputs):
         if not self.user_features:
@@ -65,8 +76,9 @@ class MIND(_RetrievalBase):
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
         emb = self._embedding()
         behavior, mask = self._behavior(emb, inputs)
+        cap_dim = behavior.shape[-1]  # F·D (reference capsules_dim, :179)
         capsules, cap_mask = CapsuleRouting(
-            self.num_interests, self.embed_dim, mode="shared", dtype=self.dtype, name="routing"
+            self.num_interests, cap_dim, mode="shared", dtype=self.dtype, name="routing"
         )(behavior, mask)
         profile = self._profile_vec(emb, inputs)
         if profile is not None:
@@ -74,10 +86,10 @@ class MIND(_RetrievalBase):
             prof = jnp.broadcast_to(profile[:, None, :], (b, k, profile.shape[-1]))
             merged = jnp.concatenate([capsules, prof], axis=-1)
             capsules = MLP(
-                tuple(self.hidden_dims) + (self.embed_dim,),
+                tuple(self.hidden_dims) + (cap_dim,),
                 out_activation="linear", dtype=self.dtype, name="capsule_mlp",
             )(merged, train=train)
-        target = emb(inputs[self.item_key].reshape(-1))
+        target = self._target(emb, inputs)
         user_vec = LabelAwareAttention(self.attention_power, name="label_att")(
             capsules, cap_mask, target
         )
@@ -92,52 +104,89 @@ class MIND(_RetrievalBase):
         }
 
 
+def _attn_pool(user_q: jnp.ndarray, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Scaled dot-product user-query attention pooling (reference AttnNet,
+    6.MIND/CustomLayers.py:288-308): q = (B, D) user vector, k = v = (B, L, D)."""
+    scale = 1.0 / jnp.sqrt(jnp.asarray(x.shape[-1], jnp.float32))
+    logits = jnp.einsum(
+        "bld,bd->bl", x.astype(jnp.float32), user_q.astype(jnp.float32)
+    ) * scale
+    logits = jnp.where(m.astype(bool), logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1) * (jnp.sum(m, -1, keepdims=True) > 0)
+    return jnp.einsum("bl,bld->bd", w.astype(x.dtype), x)
+
+
 class SDM(_RetrievalBase):
     """Sequential deep matching (reference SDMLayer,
-    6.MIND/CustomLayers.py:430-525): short-term channel = stacked LSTM-like
-    recurrence + self-MHA + user-query attention over the recent window;
-    long-term channel = per-feature user-query attention; fusion gate."""
+    6.MIND/CustomLayers.py:430-525).
 
-    short_len: int = 10  # last N steps form the short-term window
+    Short-term channel (ShortTermInterestExtractor :311-361): the most recent
+    ``short_len`` valid steps, concat-embedded over all behavior series, run
+    through STACKED LSTMs → rectangular self-MHA over valid×valid positions →
+    user-query attention pooling.
+    Long-term channel (LongTermInterestExtractor :364-395): PER-SERIES
+    user-query attention over each feature sequence separately, concatenated
+    and projected with tanh.
+    FusionGate (:398-427): g = σ(W₁u + W₂long + W₃short + b);
+    user = (1−g)·long + g·short.
+
+    The reference logs separate long/short series per event; our sequence data
+    model carries one (multi-feature) history, so the short-term window is the
+    most recent ``short_len`` valid steps of that history and the long-term
+    channel attends over the full history.
+    """
+
+    short_len: int = 10  # last N valid steps form the short-term window
     num_heads: int = 2
-    hidden_dims: Sequence[int] = (64,)
+    lstm_layers: int = 2
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
+        from tpurec.ops.hashing import gather_steps
+
         emb = self._embedding()
-        behavior, mask = self._behavior(emb, inputs)
-        d = behavior.shape[-1]
+        behavior, mask = self._behavior(emb, inputs)  # (B, L, F·D)
+        b, l, d = behavior.shape
         profile = self._profile_vec(emb, inputs)
-        user_q = nn.Dense(d, dtype=self.dtype, name="user_proj")(profile)  # (B, D)
-        # short-term: most recent steps (history is stored oldest→newest;
-        # padding sits at the tail, so take a learned attention over the
-        # masked recurrent states of the last short_len *valid* steps —
-        # implemented as recurrence over the full sequence + window mask)
-        states = MaskedGRU(d, dtype=self.dtype, name="short_rnn")(behavior, mask)
+        # separate user projections for each channel (reference user_to_short
+        # Dense(F·D, tanh) / user_to_long Dense(D, tanh), :449-450)
+        user_short = jnp.tanh(nn.Dense(d, dtype=self.dtype, name="user_to_short")(profile))
+        user_long = jnp.tanh(
+            nn.Dense(self.embed_dim, dtype=self.dtype, name="user_to_long")(profile)
+        )
+        # ---- short-term: gather the last short_len VALID steps into a
+        # compact window (history is oldest→newest with tail padding)
+        s = min(self.short_len, l)
+        lengths = jnp.sum(mask, axis=-1, keepdims=True)  # (B, 1)
+        win_pos = lengths - s + jnp.arange(s)[None, :]  # (B, s) absolute positions
+        win_mask = (win_pos >= 0).astype(mask.dtype)
+        win_idx = jnp.clip(win_pos, 0, l - 1).astype(jnp.int32)
+        short_seq = gather_steps(behavior, win_idx)  # (B, s, F·D)
+        short_seq = short_seq * win_mask[..., None].astype(short_seq.dtype)
+        states = MaskedLSTM(
+            d, num_layers=self.lstm_layers, dtype=self.dtype, name="short_lstm"
+        )(short_seq, win_mask)
+        # rectangular valid×valid self-attention mask (reference :344-355)
+        rect = win_mask[:, :, None] * win_mask[:, None, :]
         states = MultiHeadAttention(
             self.num_heads, max(1, d // self.num_heads), dtype=self.dtype, name="short_mha"
-        )(states, mask=mask, train=train)
-        # user-query attention pooling (reference AttnNet :288-308)
-        def attn_pool(x, m, name):
-            logits = jnp.einsum("bld,bd->bl", x.astype(jnp.float32), user_q.astype(jnp.float32))
-            logits = jnp.where(m.astype(bool), logits, -1e9)
-            w = jax.nn.softmax(logits, axis=-1) * (jnp.sum(m, -1, keepdims=True) > 0)
-            return jnp.einsum("bl,bld->bd", w.astype(x.dtype), x)
-
-        # short window mask: last short_len valid positions
-        idx = jnp.arange(mask.shape[1])[None, :]
-        lengths = jnp.sum(mask, axis=-1, keepdims=True)
-        short_mask = mask * (idx >= (lengths - self.short_len)).astype(mask.dtype)
-        s_t = attn_pool(states, short_mask, "short")
-        p_t = attn_pool(behavior, mask, "long")  # long-term over raw embeddings
+        )(states, mask=rect, train=train)
+        s_t = _attn_pool(user_short, states, win_mask)  # (B, F·D)
+        # ---- long-term: per-feature-series user-query attention (:364-395)
+        pooled_series = []
+        for sname in self.sequence_features:
+            series = emb(inputs[sname])  # (B, L, D)
+            pooled_series.append(_attn_pool(user_long, series, mask))
+        p_t = jnp.concatenate(pooled_series, axis=-1)  # (B, F·D)
         p_t = jnp.tanh(nn.Dense(d, dtype=self.dtype, name="long_proj")(p_t))
+        # ---- fusion gate (:398-427)
         gate = nn.sigmoid(
-            nn.Dense(d, dtype=self.dtype, name="gate")(
-                jnp.concatenate([user_q, s_t, p_t], axis=-1)
-            )
+            nn.Dense(d, dtype=self.dtype, name="gate_user")(user_short)
+            + nn.Dense(d, dtype=self.dtype, name="gate_long")(p_t)
+            + nn.Dense(d, dtype=self.dtype, name="gate_short")(s_t)
         )
-        user_vec = gate * p_t + (1.0 - gate) * s_t
-        target = emb(inputs[self.item_key].reshape(-1))
+        user_vec = (1.0 - gate) * p_t + gate * s_t
+        target = self._target(emb, inputs)
         return {
             "user_embedding": user_vec,
             "item_embedding": target,
@@ -183,7 +232,7 @@ class ComiRec(_RetrievalBase):
             a = jax.nn.softmax(a, axis=1)  # (B, L, K)
             capsules = jnp.einsum("blk,bld->bkd", a.astype(behavior.dtype), behavior)
             cap_mask = jnp.ones((b, self.num_interests), jnp.float32)
-        target = emb(inputs[self.item_key].reshape(-1))
+        target = self._target(emb, inputs)
         # hard capsule selection by inner product with the target
         scores = jnp.einsum(
             "bkd,bd->bk", capsules.astype(jnp.float32), target.astype(jnp.float32)
@@ -199,13 +248,17 @@ class ComiRec(_RetrievalBase):
             "output": jnp.max(scores, axis=-1),
         }
         if train and self.num_sampled_negatives > 0:
+            # uniform negatives over the id table, one id per query feature
+            # (the reference samples rows of the full id-embedding table via
+            # tf.nn.sampled_softmax_loss, 6.MIND/CustomLayers.py:853-863)
+            f = len(self.query_features)
             neg_ids = jax.random.randint(
                 self.make_rng("sampling"),
-                (b, self.num_sampled_negatives),
+                (b, self.num_sampled_negatives, f),
                 1,  # skip the padding id
                 self.vocab_size,
             )
-            neg_emb = emb(neg_ids)  # (B, N, D)
+            neg_emb = emb(neg_ids).reshape(b, self.num_sampled_negatives, -1)  # (B, N, F·D)
             pos_logit = jnp.einsum(
                 "bd,bd->b", user_vec.astype(jnp.float32), target.astype(jnp.float32)
             )[:, None]
@@ -300,7 +353,7 @@ class SINE(_RetrievalBase):
         agg = jnp.einsum("bkd,bd->bk", interests.astype(jnp.float32), c_apt.astype(jnp.float32))
         e_k = jax.nn.softmax(agg / self.tau, axis=-1)
         user_vec = jnp.einsum("bk,bkd->bd", e_k.astype(interests.dtype), interests)
-        target = emb(inputs[self.item_key].reshape(-1))
+        target = self._target(emb, inputs)
         out: Outputs = {
             "user_embedding": user_vec,
             "item_embedding": target,

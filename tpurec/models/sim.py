@@ -16,7 +16,7 @@ from flax import linen as nn
 from jax.sharding import Mesh
 
 from tpurec.embedding.modules import SharedEmbedding
-from tpurec.models.base import Inputs, Outputs, sequence_mask, stack_ids
+from tpurec.models.base import Inputs, Outputs, embed_series, sequence_mask, stack_ids
 from tpurec.ops.attention import DinTargetAttention, MultiHeadAttention
 from tpurec.ops.hashing import (
     gather_steps,
@@ -55,8 +55,10 @@ class _LongSeqBase(nn.Module):
         return e.reshape(e.shape[0], -1)
 
     def _keys(self, emb, inputs):
-        seq = inputs[self.sequence_features[0]]
-        return emb(seq), sequence_mask(seq, self.padding_index)
+        """(B, L, F·D) concat-embedded parallel behavior series + mask."""
+        return embed_series(
+            emb, inputs, list(self.sequence_features), self.padding_index
+        )
 
     def _two_class_head(self, x, name, train):
         h = MLP(self.hidden_dims, dtype=self.dtype, name=f"{name}_mlp")(x, train=train)
@@ -76,6 +78,10 @@ class SIM(_LongSeqBase):
 
     topk: int = 16
     num_heads: int = 2
+    # compose a DIEN submodule named 'trunk' as the ESU trunk (reference
+    # ESULayer's frozen pretrained DIEN, 7.SIM/CustomLayers.py:155-157);
+    # pretrain→freeze via Trainer.init_from_export + TrainConfig.freeze_prefixes
+    use_dien_trunk: bool = False
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
@@ -100,13 +106,33 @@ class SIM(_LongSeqBase):
         top_idx, top_mask = topk_select(scores, mask, min(self.topk, keys.shape[1]))
         sub = gather_steps(keys, top_idx)
         sub_mask = top_mask
-        # ---- ESU: recurrence + target MHA over the retrieved sub-sequence
+        # ---- ESU: recurrent trunk + target MHA over the retrieved
+        # sub-sequence; optionally a DIEN submodule as the trunk whose
+        # pre-head features join the head input (reference :130-201)
         states = MaskedGRU(d, dtype=self.dtype, name="esu_rnn")(sub, sub_mask)
         att = MultiHeadAttention(
             self.num_heads, max(1, d // self.num_heads), dtype=self.dtype, name="esu_mha"
         )(query[:, None, :], kv=states, mask=sub_mask, train=train)[:, 0]
+        esu_in = [profile, query, att, query * att]
+        if self.use_dien_trunk:
+            from tpurec.models.din import DIEN
+
+            trunk_out = DIEN(
+                user_features=self.user_features,
+                item_features=self.item_features,
+                sequence_features=self.sequence_features,
+                query_features=self.query_features,
+                vocab_size=self.vocab_size,
+                embed_dim=self.embed_dim,
+                padding_index=self.padding_index,
+                aux_weight=0.0,
+                dtype=self.dtype,
+                mesh=self.mesh,
+                name="trunk",
+            )(inputs, train=train)
+            esu_in.append(trunk_out["trunk_features"])
         esu_logits = self._two_class_head(
-            jnp.concatenate([profile, query, att, query * att], -1), "esu", train
+            jnp.concatenate(esu_in, -1), "esu", train
         )
         p = jax.nn.softmax(esu_logits, axis=-1)[:, 1]
         return {
@@ -170,12 +196,21 @@ class CoActionUnit(nn.Module):
 
 class CAN(_LongSeqBase):
     """Co-action network (reference CANLayer, 7.SIM/CustomLayers.py:381-450):
-    base sequential trunk (gsu head) + per-field co-action features where the
-    candidate item's induction embedding parameterizes micro-MLPs over the
-    behavior sequence (esu head)."""
+    base sequential trunk (gsu head) + PER-FIELD co-action features — one
+    CoActionUnit per (candidate field, matching behavior series) pair
+    (reference :414-446: i_goods_id×visited_goods_ids, i_shop_id×…), each
+    candidate field's induction embedding parameterizing a micro-MLP applied
+    both to its behavior series (sum-pooled) and to the user profile fields
+    treated as a length-U sequence (reference user_output :440-441).
+
+    ``use_dien_trunk=True`` swaps the base GRU trunk for a full DIEN submodule
+    named 'trunk' whose pre-head features feed both heads — the reference
+    composes a FROZEN pretrained DIEN the same way (:404-406); load + freeze
+    via Trainer.init_from_export / TrainConfig.freeze_prefixes."""
 
     co_layer_dims: Sequence[int] = (4, 4)
     co_orders: int = 2
+    use_dien_trunk: bool = False
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
@@ -184,21 +219,49 @@ class CAN(_LongSeqBase):
         query = self._query(emb, inputs)
         keys, mask = self._keys(emb, inputs)
         d = keys.shape[-1]
-        # base trunk: GRU + mean pool → gsu head
-        states = MaskedGRU(d, dtype=self.dtype, name="trunk_rnn")(keys, mask)
-        w_mask = mask[..., None].astype(states.dtype)
-        pooled = jnp.sum(states * w_mask, 1) / jnp.maximum(jnp.sum(w_mask, 1), 1.0)
+        if self.use_dien_trunk:
+            from tpurec.models.din import DIEN
+
+            trunk_out = DIEN(
+                user_features=self.user_features,
+                item_features=self.item_features,
+                sequence_features=self.sequence_features,
+                query_features=self.query_features,
+                vocab_size=self.vocab_size,
+                embed_dim=self.embed_dim,
+                padding_index=self.padding_index,
+                aux_weight=0.0,
+                dtype=self.dtype,
+                mesh=self.mesh,
+                name="trunk",
+            )(inputs, train=train)
+            pooled = trunk_out["trunk_features"]
+        else:
+            # base trunk: GRU + mean pool
+            states = MaskedGRU(d, dtype=self.dtype, name="trunk_rnn")(keys, mask)
+            w_mask = mask[..., None].astype(states.dtype)
+            pooled = jnp.sum(states * w_mask, 1) / jnp.maximum(jnp.sum(w_mask, 1), 1.0)
         gsu_logits = self._two_class_head(
             jnp.concatenate([profile, query, pooled], -1), "gsu", train
         )
-        # co-action: separate induction embedding table for the candidate ids
-        packed = CoActionUnit.packed_dim(d, self.co_layer_dims)
-        induction = SharedEmbedding(
-            self.vocab_size, packed, dtype=self.dtype, mesh=self.mesh, name="induction_emb"
-        )(inputs[self.query_features[0]].reshape(-1))
-        co = CoActionUnit(
-            layer_dims=tuple(self.co_layer_dims), orders=self.co_orders, name="coaction"
-        )(induction, keys, mask)
+        # per-field co-action: separate induction table per candidate field
+        dim = self.embed_dim
+        packed = CoActionUnit.packed_dim(dim, self.co_layer_dims)
+        user_feed = emb(stack_ids(inputs, list(self.user_features)))  # (B, U, D)
+        co_parts = []
+        for qf, sname in zip(self.query_features, self.sequence_features):
+            induction = SharedEmbedding(
+                self.vocab_size, packed, dtype=self.dtype, mesh=self.mesh,
+                name=f"induction_emb_{qf}",
+            )(inputs[qf].reshape(-1))
+            unit = CoActionUnit(
+                layer_dims=tuple(self.co_layer_dims), orders=self.co_orders,
+                name=f"coaction_{qf}",
+            )
+            series = emb(inputs[sname])  # (B, L, D)
+            co_parts.append(unit(induction, series, mask))
+            co_parts.append(unit(induction, user_feed, None))
+        co = jnp.concatenate(co_parts, axis=-1)
         esu_logits = self._two_class_head(
             jnp.concatenate([profile, query, pooled, co], -1), "esu", train
         )

@@ -121,6 +121,44 @@ class AttentionGRU(nn.Module):
         return final
 
 
+class MaskedLSTM(nn.Module):
+    """Stacked unidirectional LSTM returning all top-layer states; padded
+    steps carry state through unchanged (reference SDM short-term channel
+    stacks LSTM(return_sequences=True) layers, 6.MIND/CustomLayers.py:334-340).
+    Each layer is one lax.scan; layers are a static Python loop."""
+
+    hidden_dim: int
+    num_layers: int = 1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        m = mask if mask is not None else jnp.ones(x.shape[:2], x.dtype)
+        for layer in range(self.num_layers):
+            cell = nn.OptimizedLSTMCell(
+                self.hidden_dim, dtype=self.dtype, name=f"layer_{layer}"
+            )
+            carry = cell.initialize_carry(jax.random.key(0), x[:, 0].shape)
+
+            def body(mdl, carry, inp):
+                xt, mt = inp
+                new_carry, y = cell(carry, xt)
+                keep = mt[:, None].astype(y.dtype)
+                new_carry = jax.tree.map(
+                    lambda n, o: keep * n + (1 - keep) * o, new_carry, carry
+                )
+                return new_carry, keep * y
+
+            scan = nn.scan(
+                body, variable_broadcast="params", split_rngs={"params": False},
+                in_axes=1, out_axes=1,
+            )
+            _, x = scan(self, carry, (x, m))
+        return x  # (B, L, H)
+
+
 class MaskedBiLSTM(nn.Module):
     """Bidirectional LSTM over a (possibly masked) sequence, concatenated
     outputs (reference DSIN BiLSTM across sessions,
