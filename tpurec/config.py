@@ -134,6 +134,12 @@ class TrainConfig(_Base):
     # gathers only the batch's unique rows and applies row-sparse Adam —
     # O(U·D) instead of O(V·D) HBM traffic per step (tpurec/embedding/sparse.py)
     sparse_embedding: bool = False
+    # param-path prefixes (slash-joined, e.g. 'trunk' or 'trunk/emb') whose
+    # parameters receive NO updates — the pretrain→freeze composition used by
+    # SIM/CAN over a pretrained DIEN trunk (reference freezes the loaded DIEN
+    # with layer.trainable=False, 7.SIM/CustomLayers.py:155-157); seed the
+    # frozen subtree with Trainer.init_subtree_from_export
+    freeze_prefixes: Sequence[str] = ()
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     early_stop: EarlyStopConfig = field(default_factory=EarlyStopConfig)
     checkpoint_dir: str = ""

@@ -63,6 +63,13 @@ def load_exported_params(directory: str, target: Any) -> Any:
         return serialization.from_bytes(target, f.read())
 
 
+def load_exported_raw(directory: str) -> Any:
+    """Template-free restore (plain nested dicts of numpy arrays) — for
+    grafting an export's subtree into a different model's param tree."""
+    with open(os.path.join(directory, "params.msgpack"), "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def load_export_meta(directory: str) -> dict:
     with open(os.path.join(directory, "export_meta.json")) as f:
         return json.load(f)

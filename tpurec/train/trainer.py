@@ -139,7 +139,31 @@ class Trainer:
             chain.append(optax.sgd(oc.learning_rate))
         else:
             raise KeyError(f"unknown optimizer {oc.name!r}")
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        prefixes = tuple(self.config.train.freeze_prefixes)
+        if prefixes:
+            # pretrain→freeze: zero every update under a frozen path prefix
+            # (reference: frozen pretrained DIEN trunk inside SIM/CAN,
+            # 7.SIM/CustomLayers.py:155-157)
+            def labels(params):
+                def lab(path, _):
+                    p = "/".join(
+                        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+                    )
+                    return (
+                        "frozen"
+                        if any(
+                            p == pref or p.startswith(pref + "/") for pref in prefixes
+                        )
+                        else "trainable"
+                    )
+
+                return jax.tree_util.tree_map_with_path(lab, params)
+
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+            )
+        return tx
 
     def _make_metrics(self) -> MetricBundle:
         loss_name = self.config.train.loss
@@ -661,6 +685,36 @@ class Trainer:
         return state.replace(
             params=loaded["params"], model_state=model_state, tables=tables
         )
+
+    def init_subtree_from_export(
+        self, state: TrainState, directory: str, dst_prefix: str
+    ) -> TrainState:
+        """Graft a pretrained export's ENTIRE params tree under the param
+        subtree ``dst_prefix`` (slash-separated path), e.g. seed SIM/CAN's
+        DIEN trunk (submodule 'trunk') from a standalone DIEN training export
+        — the reference loads pretrained DIEN weights into its ESU/CAN layers
+        (7.SIM/CustomLayers.py:404-406). Combine with
+        TrainConfig.freeze_prefixes=('trunk',) to keep it frozen.
+
+        The submodule must be architecturally identical to the exported
+        model so the param trees match leaf-for-leaf."""
+        keys = dst_prefix.split("/")
+        sub = state.params
+        for k in keys:
+            sub = sub[k]
+        loaded = ckpt_lib.load_exported_raw(directory)["params"]
+        # preserve device placement/sharding of the existing leaves
+        loaded = jax.tree.map(
+            lambda old, new: jax.device_put(jnp.asarray(new), old.sharding),
+            sub,
+            loaded,
+        )
+        new_params = jax.tree_util.tree_map(lambda x: x, state.params)  # copy refs
+        node = new_params
+        for k in keys[:-1]:
+            node = node[k]
+        node[keys[-1]] = loaded
+        return state.replace(params=new_params)
 
     def export(self, state: TrainState, directory: str) -> None:
         exported_state = dict(state.model_state)
