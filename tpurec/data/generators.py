@@ -184,8 +184,19 @@ class ImpressionLogGenerator:
             cols[f"{c}_sq"] = v * v
             cols[f"{c}_cube"] = v * v * v
         labels = [r["Label"].split("$#") for r in records]
-        cols["ctr"] = np.asarray([float(a) for a, _ in labels], np.float32)
-        cols["cvr"] = np.asarray([float(b) for _, b in labels], np.float32)
+        if len(labels[0]) == 6:
+            # full conversion chain click$#cart$#collect$#none$#order$#pay
+            # (the graph ESM2 trains on, 9.ESCM2/CustomLayers.py:559-601);
+            # ctr/cvr alias the endpoints for two-task trainers
+            chain_names = ["click", "cart", "collect", "none", "order", "pay"]
+            for j, nm in enumerate(chain_names):
+                cols[nm] = np.asarray([float(p[j]) for p in labels], np.float32)
+            cols["ctr"] = cols["click"]
+            cols["cvr"] = cols["pay"]
+            self.info.label_names = chain_names + ["ctr", "cvr"]
+        else:
+            cols["ctr"] = np.asarray([float(p[0]) for p in labels], np.float32)
+            cols["cvr"] = np.asarray([float(p[1]) for p in labels], np.float32)
         is_train = rng.random(n) < self.split_fraction
         for kind, sel in (("train", is_train), ("test", ~is_train)):
             write_columnar_shards(

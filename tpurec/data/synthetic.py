@@ -91,11 +91,19 @@ def make_impression_log_raw(
     n_continuous: int = 3,
     signal: float = 16.0,  # oracle CTR-AUC ≈ 0.977, matching the reference
     # 4.MMOE data's achievable class (BASELINE.md: ctr 0.9767 / cvr 0.9582)
+    full_chain: bool = False,
     seed: int = 0,
 ) -> str:
     """Chapter-4-style JSON-lines impression log with nested feature records
     and a '0$#0'-format ctr/cvr label (4.MMOE/DataGenerator.py:22-116).
-    CVR is only possible given CTR=1 (probability-chain structure)."""
+    CVR is only possible given CTR=1 (probability-chain structure).
+
+    With ``full_chain=True`` the Label carries the 6-node conversion chain
+    click$#cart$#collect$#none$#order$#pay: given a click, the user takes
+    exactly one of {cart, collect, none} (cart-over-collect priority as in
+    the reference graph, 9.ESCM2/CustomLayers.py:566-580); each branch
+    converts to an order at its own planted rate, and orders pay at a planted
+    rate — the data model the reference ESM2Layer's per-edge BCEs assume."""
     rng = np.random.default_rng(seed)
     os.makedirs(output_dir, exist_ok=True)
     cats = rng.integers(0, cat_cardinality, (n_events, n_cat))
@@ -106,12 +114,37 @@ def make_impression_log_raw(
     s_ctr = signal * np.mean(w_ctr[np.arange(n_cat)[None, :], cats], axis=1) + conts @ wc_ctr * 0.5
     s_cvr = signal * np.mean(w_cvr[np.arange(n_cat)[None, :], cats], axis=1)
     ctr = (rng.random(n_events) < _sigmoid(-1.0 + s_ctr)).astype(int)
-    cvr = ((rng.random(n_events) < _sigmoid(-0.5 + s_cvr)) & (ctr == 1)).astype(int)
+    if full_chain:
+        # branch choice (cart > collect > none), feature-dependent so every
+        # edge is learnable
+        w_br = rng.normal(0, 1, (n_cat, cat_cardinality))
+        s_br = signal * 0.5 * np.mean(w_br[np.arange(n_cat)[None, :], cats], axis=1)
+        cart = (ctr == 1) & (rng.random(n_events) < _sigmoid(-0.6 + s_br))
+        collect = (ctr == 1) & ~cart & (rng.random(n_events) < _sigmoid(-0.2 + s_br))
+        none = (ctr == 1) & ~cart & ~collect
+        p_order = _sigmoid(-0.5 + s_cvr)
+        order = (
+            (cart & (rng.random(n_events) < p_order))
+            | (collect & (rng.random(n_events) < 0.6 * p_order))
+            | (none & (rng.random(n_events) < 0.15 * p_order))
+        )
+        pay = order & (rng.random(n_events) < _sigmoid(0.5 + 0.5 * s_cvr))
+        chain = np.stack(
+            [ctr, cart.astype(int), collect.astype(int), none.astype(int),
+             order.astype(int), pay.astype(int)], axis=1,
+        )
+    else:
+        cvr = ((rng.random(n_events) < _sigmoid(-0.5 + s_cvr)) & (ctr == 1)).astype(int)
     path = os.path.join(output_dir, "impression_log.jsonl")
     with open(path, "w") as f:
         for k in range(n_events):
+            label = (
+                "$#".join(str(int(v)) for v in chain[k])
+                if full_chain
+                else f"{ctr[k]}$#{cvr[k]}"
+            )
             rec = {
-                "Label": f"{ctr[k]}$#{cvr[k]}",
+                "Label": label,
                 "features": {f"cat_{j}": f"v{cats[k, j]}" for j in range(n_cat)},
                 "continuous": {
                     f"cont_{j}": float(conts[k, j]) for j in range(n_continuous)

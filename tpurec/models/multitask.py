@@ -190,44 +190,94 @@ class PLE(_MultiTaskBase):
 
 
 class ESM2(_MultiTaskBase):
-    """Probability-chain multi-task (reference ESM2Layer,
-    9.ESCM2/CustomLayers.py:438-601): click → {action, none} → purchase, with
-    per-edge BCEs; returns the scalar total loss in-model ('model_loss').
+    """Full probability-graph multi-task (reference ESM2Layer,
+    9.ESCM2/CustomLayers.py:438-601): an 8-task gated expert trunk whose
+    conditional-probability heads compose the decomposition
 
-    The reference's 8-node chain (click→cart/collect/none→order→pay) reduces
-    to the nodes observable in the data; with ctr/cvr labels the chain is
-    click → action → purchase where p(purchase|impression) =
-    pCTR·(pAction·pBuyGivenAction + (1−pAction)·pBuyDirect).
-    """
+        click   = t0                                   (expose→click)
+        cart    = click · t1                           (click→cart)
+        collect = click · (1−t1) · t2                  (click→collect)
+        none    = click · (1−t1) · (1−t2) · t3         (click→none)
+        order   = cart·t4 + collect·t5 + none·t6       ({cart,collect,none}→order)
+        pay     = order · t7                           (order→pay)
 
-    loss_weights: Sequence[float] = (1.0, 1.0)
+    with one weighted BCE per labeled node (:559-601). The reference's pay
+    edge erroneously reuses t5 (``pay_probs = order_probs*result['task_5']``,
+    :594) — intended semantics (t7, the order→pay task) implemented instead
+    (SURVEY §7 known-bugs list).
+
+    Labels: 'click','cart','collect','none','order','pay' where present;
+    'ctr'/'cvr' alias click/pay so the reduced two-label data of ch.4 still
+    trains the chain end-to-end. Unlabeled nodes contribute no loss term.
+    Expert mixing per task follows the reference's MMOE-style per-task gates
+    (:534-548)."""
+
+    # per-node loss weights in node order click,cart,collect,none,order,pay
+    # (reference weight0..weight5, :483)
+    loss_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
         x = self.trunk_input(inputs)
         experts = ExpertBank(self.num_experts, self.expert_dims, dtype=self.dtype, name="experts")(
             x, train=train
+        )  # (B, E, H)
+        # 8 conditional-probability tasks, each with its own softmax gate
+        task_names = [
+            "click", "cart_given_click", "collect_given_no_cart",
+            "none_given_no_action", "order_given_cart", "order_given_collect",
+            "order_given_none", "pay_given_order",
+        ]
+        t = {}
+        for name in task_names:
+            gate = nn.Dense(self.num_experts, dtype=self.dtype, name=f"{name}_gate")(x)
+            gate = nn.softmax(gate.astype(jnp.float32), axis=-1).astype(experts.dtype)
+            mixed = jnp.einsum("be,beh->bh", gate, experts)
+            t[name] = nn.sigmoid(self.tower_logit(mixed, name, train))
+        click = t["click"]
+        cart = click * t["cart_given_click"]
+        collect = click * (1 - t["cart_given_click"]) * t["collect_given_no_cart"]
+        none = (
+            click
+            * (1 - t["cart_given_click"])
+            * (1 - t["collect_given_no_cart"])
+            * t["none_given_no_action"]
         )
-        shared = jnp.mean(experts, axis=1)
-        ctr_logit = self.tower_logit(shared, "ctr", train)
-        action_logit = self.tower_logit(shared, "action", train)
-        buy_a_logit = self.tower_logit(shared, "buy_given_action", train)
-        buy_d_logit = self.tower_logit(shared, "buy_direct", train)
-        p_ctr = nn.sigmoid(ctr_logit)
-        p_action = nn.sigmoid(action_logit)
-        p_buy = p_action * nn.sigmoid(buy_a_logit) + (1 - p_action) * nn.sigmoid(buy_d_logit)
-        ctcvr = p_ctr * p_buy
+        order = (
+            cart * t["order_given_cart"]
+            + collect * t["order_given_collect"]
+            + none * t["order_given_none"]
+        )
+        pay = order * t["pay_given_order"]
         out = {
-            "ctr_logit": ctr_logit,
-            "ctr_output": p_ctr,
-            "cvr_output": p_buy,
-            "ctcvr_output": ctcvr,
+            "ctr_logit": jnp.log(jnp.clip(click, _EPS, 1 - _EPS))
+            - jnp.log1p(-jnp.clip(click, _EPS, 1 - _EPS)),
+            "ctr_output": click,
+            "cart_output": cart,
+            "collect_output": collect,
+            "none_output": none,
+            "order_output": order,
+            "pay_output": pay,
+            # pCTCVR = p(pay | impression); cvr_output = p(pay | click)
+            "cvr_output": pay / jnp.clip(click, _EPS, 1.0),
+            "ctcvr_output": pay,
         }
-        if "ctr" in inputs:
-            ctr_y = inputs["ctr"].reshape(-1)
-            cvr_y = inputs["cvr"].reshape(-1)
-            loss = jnp.mean(_bce(ctr_y, p_ctr)) * self.loss_weights[0]
-            loss = loss + jnp.mean(_bce(cvr_y, ctcvr)) * self.loss_weights[1]
+        node_probs = [
+            ("click", click), ("cart", cart), ("collect", collect),
+            ("none", none), ("order", order), ("pay", pay),
+        ]
+        # ctr/cvr alias the chain's endpoints for two-label datasets
+        labels = {k: inputs[k] for k, _ in node_probs if k in inputs}
+        if "click" not in labels and "ctr" in inputs:
+            labels["click"] = inputs["ctr"]
+        if "pay" not in labels and "cvr" in inputs:
+            labels["pay"] = inputs["cvr"]
+        if labels:
+            loss = jnp.zeros((), jnp.float32)
+            for w, (node, probs) in zip(self.loss_weights, node_probs):
+                if node in labels:
+                    y = labels[node].reshape(-1)
+                    loss = loss + w * jnp.mean(_bce(y, probs))
             out["loss"] = loss
         return out
 
@@ -302,13 +352,17 @@ class ESCM2(nn.Module):
 class FDN(_MultiTaskBase):
     """Feature-decomposition network (reference FDN4PLELayer,
     9.ESCM2/CustomLayers.py:707-862): PLE whose task-specific experts are
-    pushed orthogonal to shared experts per level (build_orth_loss :846-853)
-    plus per-expert auxiliary prediction heads (build_level_aux_loss
-    :855-862). Total loss computed in-model."""
+    each paired 1:1 with a shared expert and pushed orthogonal per level —
+    shared_expert_num = specific_expert_num × num_tasks by construction
+    (:748-749), orth loss = mean over batch of Σ_pairs ⟨specific_m, shared_m⟩²
+    on the RAW (unnormalized) outputs (build_orth_loss :846-853) — plus
+    PER-EXPERT auxiliary prediction heads: every task-specific expert gets its
+    own sigmoid head supervised by that task's label (build_level_aux_loss
+    :855-862, intended semantics of 'experts should predict the target
+    directly'). Total loss computed in-model."""
 
     num_levels: int = 2
     experts_per_task: int = 2
-    shared_experts: int = 2
     orth_weight: float = 0.01
     aux_weight: float = 0.1
 
@@ -316,10 +370,12 @@ class FDN(_MultiTaskBase):
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
         x = self.trunk_input(inputs)
         tasks = list(self.task_names)
+        # pairing constraint (reference :748-749)
+        shared_count = self.experts_per_task * len(tasks)
         streams = {t: x for t in tasks}
         shared_stream = x
         orth_terms = []
-        aux_logits = []
+        aux_logits = []  # (task, (B, E) per-expert logits)
         for level in range(self.num_levels):
             task_outs = {}
             for t in tasks:
@@ -328,22 +384,33 @@ class FDN(_MultiTaskBase):
                     name=f"L{level}_{t}_experts",
                 )(streams[t], train=train)
             shared_outs = ExpertBank(
-                self.shared_experts, self.expert_dims, dtype=self.dtype,
+                shared_count, self.expert_dims, dtype=self.dtype,
                 name=f"L{level}_shared_experts",
             )(shared_stream, train=train)
-            # orthogonality: cosine² between mean task-specific and mean
-            # shared expert outputs at this level
-            sh = jnp.mean(shared_outs, axis=1).astype(jnp.float32)
-            sh = sh / (jnp.linalg.norm(sh, axis=-1, keepdims=True) + 1e-8)
+            # per-expert paired orthogonality: flat specific (B, T·E, H)
+            # against shared (B, T·E, H), raw inner products squared
+            specific_flat = jnp.concatenate(
+                [task_outs[t] for t in tasks], axis=1
+            ).astype(jnp.float32)
+            dots = jnp.einsum(
+                "bmh,bmh->bm", specific_flat, shared_outs.astype(jnp.float32)
+            )
+            orth_terms.append(jnp.mean(jnp.sum(jnp.square(dots), axis=1)))
+            # per-expert auxiliary heads: one Dense(1) per (level, task, expert)
             for t in tasks:
-                sp = jnp.mean(task_outs[t], axis=1).astype(jnp.float32)
-                sp = sp / (jnp.linalg.norm(sp, axis=-1, keepdims=True) + 1e-8)
-                orth_terms.append(jnp.mean(jnp.square(jnp.sum(sp * sh, axis=-1))))
-            # per-expert auxiliary heads
-            for t in tasks:
-                aux = nn.Dense(1, dtype=self.dtype, name=f"L{level}_{t}_aux")(
-                    jnp.mean(task_outs[t], axis=1)
-                ).reshape(-1).astype(jnp.float32)
+                w = self.param(
+                    f"L{level}_{t}_aux_w",
+                    nn.initializers.glorot_uniform(),
+                    (self.experts_per_task, task_outs[t].shape[-1]),
+                    jnp.float32,
+                )
+                b = self.param(
+                    f"L{level}_{t}_aux_b", nn.initializers.zeros_init(),
+                    (self.experts_per_task,), jnp.float32,
+                )
+                aux = jnp.einsum(
+                    "beh,eh->be", task_outs[t].astype(jnp.float32), w
+                ) + b  # (B, E)
                 aux_logits.append((t, aux))
             new_streams = {}
             for t in tasks:
@@ -375,7 +442,8 @@ class FDN(_MultiTaskBase):
                 jnp.mean(_bce(labels[t], out[f"{t}_output"])) for t in tasks
             ) / len(tasks)
             aux = sum(
-                jnp.mean(_bce(labels[t], nn.sigmoid(logit))) for t, logit in aux_logits
+                jnp.mean(_bce(labels[t][:, None], nn.sigmoid(logit)))
+                for t, logit in aux_logits  # logit: (B, E) per-expert heads
             ) / max(1, len(aux_logits))
             orth = sum(orth_terms) / max(1, len(orth_terms))
             out["loss"] = main + self.aux_weight * aux + self.orth_weight * orth
