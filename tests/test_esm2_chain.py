@@ -162,8 +162,10 @@ def test_fdn_per_expert_pairing_and_aux():
         "ctr": jnp.asarray(rng.integers(0, 2, 12).astype(np.float32)),
         "cvr": jnp.asarray(rng.integers(0, 2, 12).astype(np.float32)),
     }
+    from flax import linen as nn
+
     v = model.init(jax.random.key(0), inputs)
-    p = v["params"]
+    p = nn.unbox(v)["params"]  # strip TP Partitioned boxes
     # shared bank has T·E = 4 experts at each level
     assert p["L0_shared_experts"]["w_0"].shape[0] == 4
     # per-expert aux heads: (E, H) weight per (level, task)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax.sharding import Mesh
 
+from tpurec.core.mesh import MODEL_AXIS
 from tpurec.embedding.modules import SharedEmbedding
 from tpurec.models.base import Inputs, Outputs, binary_output, sequence_mask, stack_ids
 from tpurec.ops.attention import DinTargetAttention, MultiHeadAttention
@@ -81,7 +82,7 @@ class DIN(_SeqBase):
             hidden_dims=tuple(self.attention_hidden_dims), dtype=self.dtype, name="att"
         )(query, keys, mask, train=train)
         x = jnp.concatenate([profile, query, pooled], axis=-1)
-        h = MLP(self.hidden_dims, dtype=self.dtype, name="mlp")(x, train=train)
+        h = MLP(self.hidden_dims, dtype=self.dtype, tp_axis=MODEL_AXIS, name="mlp")(x, train=train)
         logit = nn.Dense(1, dtype=self.dtype, name="head")(h)
         return binary_output(logit)
 
@@ -119,7 +120,7 @@ class DIEN(_SeqBase):
             interests, norm.astype(interests.dtype), mask
         )
         x = jnp.concatenate([profile, query, final], axis=-1)
-        h = MLP(self.hidden_dims, dtype=self.dtype, name="mlp")(x, train=train)
+        h = MLP(self.hidden_dims, dtype=self.dtype, tp_axis=MODEL_AXIS, name="mlp")(x, train=train)
         logit = nn.Dense(1, dtype=self.dtype, name="head")(h)
         out = binary_output(logit)
         # pre-head feature vector (reference X_combined) so SIM/CAN can
@@ -197,6 +198,6 @@ class DSIN(_SeqBase):
             hidden_dims=tuple(self.attention_hidden_dims), dtype=self.dtype, name="att_evolved"
         )(query, evolved, sess_valid, train=train)
         x = jnp.concatenate([profile, query, att_i, att_e], axis=-1)
-        h = MLP(self.hidden_dims, dtype=self.dtype, name="mlp")(x, train=train)
+        h = MLP(self.hidden_dims, dtype=self.dtype, tp_axis=MODEL_AXIS, name="mlp")(x, train=train)
         logit = nn.Dense(1, dtype=self.dtype, name="head")(h)
         return binary_output(logit)

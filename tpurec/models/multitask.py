@@ -33,7 +33,14 @@ def _bce(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
 
 
 class ExpertBank(nn.Module):
-    """E parallel MLPs evaluated as batched einsums: weights (E, in, out)."""
+    """E parallel MLPs evaluated as batched einsums: weights (E, in, out).
+
+    Tensor-parallel over the 'model' mesh axis (SURVEY §2.10 TP row):
+    alternating column/row sharding Megatron-style — even layers shard the
+    OUTPUT width, odd layers shard the INPUT width — so activations stay
+    sharded between layers and GSPMD inserts one reduce at the end instead of
+    a reshard per layer. On a 1-device 'model' axis the annotations are
+    no-ops."""
 
     num_experts: int
     hidden_dims: Sequence[int]
@@ -41,20 +48,31 @@ class ExpertBank(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from tpurec.core.mesh import MODEL_AXIS
+
         # x: (B, D) or (B, E, D) for per-expert streams
         if x.ndim == 2:
             x = jnp.broadcast_to(x[:, None, :], (x.shape[0], self.num_experts, x.shape[-1]))
         for i, width in enumerate(self.hidden_dims):
+            w_spec = (
+                (None, None, MODEL_AXIS) if i % 2 == 0 else (None, MODEL_AXIS, None)
+            )
+            b_spec = (None, MODEL_AXIS) if i % 2 == 0 else (None, None)
             w = self.param(
                 f"w_{i}",
-                nn.initializers.glorot_uniform(),
+                nn.with_partitioning(nn.initializers.glorot_uniform(), w_spec),
                 (self.num_experts, x.shape[-1], width),
                 jnp.float32,
             )
             b = self.param(
-                f"b_{i}", nn.initializers.zeros_init(), (self.num_experts, width), jnp.float32
+                f"b_{i}",
+                nn.with_partitioning(nn.initializers.zeros_init(), b_spec),
+                (self.num_experts, width),
+                jnp.float32,
             )
-            x = jnp.einsum("bed,edh->beh", x, w.astype(x.dtype)) + b.astype(x.dtype)
+            x = jnp.einsum("bed,edh->beh", x, jnp.asarray(w).astype(x.dtype)) + jnp.asarray(
+                b
+            ).astype(x.dtype)
             x = nn.relu(x)
         return x  # (B, E, out)
 

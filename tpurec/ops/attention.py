@@ -61,18 +61,36 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,  # (B, Lk) or (B, Lq, Lk)
         train: bool = False,
     ) -> jnp.ndarray:
+        from tpurec.core.mesh import MODEL_AXIS
+
         kv = q if kv is None else kv
         b, lq, d = q.shape
         lk = kv.shape[1]
         h, dh = self.num_heads, self.head_dim
-        proj = lambda x, name: nn.Dense(h * dh, use_bias=False, dtype=self.dtype, name=name)(x)
+        # Megatron attention TP: q/k/v projections column-sharded over
+        # 'model' (heads split across devices), output projection row-sharded
+        # — one reduce after the out matmul (SURVEY §2.10 TP row); no-op on a
+        # 1-device 'model' axis
+        proj = lambda x, name: nn.Dense(
+            h * dh, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.with_partitioning(
+                nn.linear.default_kernel_init, (None, MODEL_AXIS)
+            ),
+            name=name,
+        )(x)
         qh = proj(q, "q").reshape(b, lq, h, dh).transpose(0, 2, 1, 3)
         kh = proj(kv, "k").reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         vh = proj(kv, "v").reshape(b, lk, h, dh).transpose(0, 2, 1, 3)
         out = scaled_dot_attention(qh, kh, vh, expand_mask(mask, lq, lk))
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, h * dh)
         out_dim = self.out_dim or d
-        out = nn.Dense(out_dim, dtype=self.dtype, name="out")(out)
+        out = nn.Dense(
+            out_dim, dtype=self.dtype,
+            kernel_init=nn.with_partitioning(
+                nn.linear.default_kernel_init, (MODEL_AXIS, None)
+            ),
+            name="out",
+        )(out)
         if self.dropout_rate > 0:
             out = nn.Dropout(self.dropout_rate, deterministic=not train)(out)
         if self.use_residual and out_dim == d:

@@ -82,6 +82,11 @@ class MLP(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     kernel_init: Callable = nn.initializers.glorot_uniform()
+    # tensor parallelism: when set (e.g. 'model'), Dense kernels carry
+    # alternating Megatron column/row partitioning — even layers shard the
+    # output width, odd layers the input width, so intermediate activations
+    # stay sharded and GSPMD reduces once (SURVEY §2.10 TP row)
+    tp_axis: Optional[str] = None
 
     def _activate(self, x, name: str, train: bool, idx: int):
         if name == "prelu":
@@ -94,10 +99,18 @@ class MLP(nn.Module):
     def __call__(self, x, train: bool = True):
         n = len(self.hidden_dims)
         for i, width in enumerate(self.hidden_dims):
+            kernel_init = self.kernel_init
+            bias_init = nn.initializers.zeros_init()
+            if self.tp_axis is not None:
+                k_spec = (None, self.tp_axis) if i % 2 == 0 else (self.tp_axis, None)
+                kernel_init = nn.with_partitioning(kernel_init, k_spec)
+                if i % 2 == 0:
+                    bias_init = nn.with_partitioning(bias_init, (self.tp_axis,))
             x = nn.Dense(
                 width,
                 dtype=self.dtype,
-                kernel_init=self.kernel_init,
+                kernel_init=kernel_init,
+                bias_init=bias_init,
                 name=f"dense_{i}",
             )(x)
             is_last = i == n - 1
