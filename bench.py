@@ -8,6 +8,13 @@ a single-process eager TF2 loop on a laptop CPU. ``vs_baseline`` is therefore
 measured against this machine's own CPU running the *same* jitted train step
 (the strongest single-host software baseline available), i.e. the TPU speedup
 delivered by the framework.
+
+The headline metric is DIN (behavior-sequence ranking, the reference's hot
+path — SURVEY §3.5). ``detail`` additionally carries the FM entries
+BASELINE.md names ("examples/s/chip at FM and DIN") in dense and
+sparse-embedding-update mode, plus a DIN step-time breakdown
+(forward / forward+backward / full step / embedding-gather-only) that
+attributes where the step time goes.
 """
 
 from __future__ import annotations
@@ -19,42 +26,39 @@ import time
 import numpy as np
 
 
-def _bench_model():
-    """Flagship bench model: DIN if available (behavior-sequence ranking,
-    the reference's hot path — SURVEY §3.5), else DeepFM."""
+def _din_model():
     from tpurec.config import EmbeddingConfig, ModelConfig
     from tpurec.data.schema import DataInfo
-    from tpurec.models import MODEL_REGISTRY, build_model
-    from tpurec.models.registry import _ensure_populated
+    from tpurec.models import build_model
 
-    _ensure_populated()
     seq_len = 64
-    if "din" in MODEL_REGISTRY:
-        info = DataInfo.from_dims(
-            ["user_tag", "item_id", "item_tag"],
-            [1000, 20000, 500],
-            sequence_names=["history"],
-            max_seq_length=seq_len,
-            padding_index=0,
-        )
-        name = "din"
-        params = {
-            "user_features": ["user_tag"],
-            "item_features": ["item_id", "item_tag"],
-            "sequence_features": ["history"],
-        }
-    else:
-        info = DataInfo.from_dims(
-            [f"f{i}" for i in range(20)], [5000] * 20
-        )
-        name, params = "deepfm", {}
-    model = build_model(
-        ModelConfig(name=name, params=params, embedding=EmbeddingConfig(dim=32)), info
+    info = DataInfo.from_dims(
+        ["user_tag", "item_id", "item_tag"],
+        [1000, 20000, 500],
+        sequence_names=["history"],
+        max_seq_length=seq_len,
+        padding_index=0,
     )
-    return name, model, info, seq_len
+    params = {
+        "user_features": ["user_tag"],
+        "item_features": ["item_id", "item_tag"],
+        "sequence_features": ["history"],
+    }
+    model = build_model(
+        ModelConfig(name="din", params=params, embedding=EmbeddingConfig(dim=32)), info
+    )
+    return model, info, seq_len
 
 
-def _make_batch(info, batch_size, seq_len, seed=0):
+def _fm_info(num_fields=26, vocab_per_field=80_000):
+    from tpurec.data.schema import DataInfo
+
+    return DataInfo.from_dims(
+        [f"f{i}" for i in range(num_fields)], [vocab_per_field] * num_fields
+    )
+
+
+def _make_batch(info, batch_size, seq_len=0, seed=0):
     rng = np.random.default_rng(seed)
     batch = {
         n: rng.integers(off, off + dim, size=(batch_size,))
@@ -69,70 +73,170 @@ def _make_batch(info, batch_size, seq_len, seed=0):
     return batch
 
 
-def _measure(batch_size=8192, warmup=12, iters=20) -> dict:
+def _checksum(tree):
+    """Host fetch that transitively depends on EVERY update in the chain —
+    the axon TPU tunnel acknowledges block_until_ready before remote
+    execution finishes, so only a data-dependent fetch measures honestly."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.sum(leaf[0] if leaf.ndim > 1 else leaf))
+
+
+def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
+    """Hand-rolled minimal step (model fwd/bwd/adam) + time breakdown."""
     import jax
     import jax.numpy as jnp
     import optax
-
-    name, model, info, seq_len = _bench_model()
-    batch = {k: jnp.asarray(v) for k, v in _make_batch(info, batch_size, seq_len).items()}
-    variables = model.init(jax.random.key(0), batch)
     from flax import linen as nn
 
+    model, info, seq_len = _din_model()
+    batch = {k: jnp.asarray(v) for k, v in _make_batch(info, batch_size, seq_len).items()}
+    variables = model.init(jax.random.key(0), batch)
     variables = nn.unbox(variables)
     params = variables.pop("params")
     model_state = dict(variables)
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
 
+    def loss_fn(p, batch):
+        out = model.apply({"params": p, **model_state}, batch, train=True,
+                          rngs={"dropout": jax.random.key(0)},
+                          mutable=list(model_state.keys()))[0] if model_state else \
+              model.apply({"params": p}, batch, train=True,
+                          rngs={"dropout": jax.random.key(0)})
+        logit = out["logit"] if "logit" in out else out["output"]
+        return jnp.mean(
+            optax.sigmoid_binary_cross_entropy(
+                logit.reshape(-1).astype(jnp.float32), batch["label"]
+            )
+        )
+
     @jax.jit
     def step(params, opt_state, batch):
-        def loss_fn(p):
-            out = model.apply({"params": p, **model_state}, batch, train=True,
-                              rngs={"dropout": jax.random.key(0)},
-                              mutable=list(model_state.keys()))[0] if model_state else \
-                  model.apply({"params": p}, batch, train=True,
-                              rngs={"dropout": jax.random.key(0)})
-            logit = out["logit"] if "logit" in out else out["output"]
-            return jnp.mean(
-                optax.sigmoid_binary_cross_entropy(
-                    logit.reshape(-1).astype(jnp.float32), batch["label"]
-                )
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def checksum(params):
-        # host fetch that transitively depends on EVERY update in the chain —
-        # the axon TPU tunnel acknowledges block_until_ready before remote
-        # execution finishes, so only a data-dependent fetch measures honestly
-        leaf = jax.tree.leaves(params)[0]
-        return float(jnp.sum(leaf[0] if leaf.ndim > 1 else leaf))
+    @jax.jit
+    def fwd_only(params, batch):
+        return loss_fn(params, batch)
 
+    @jax.jit
+    def fwd_bwd(params, batch):
+        return jax.grad(loss_fn)(params, batch)
+
+    # embedding-gather-only program at the same shapes: the id gathers +
+    # their scatter-add gradient, no attention/MLP — isolates the lookup cost
+    emb_leaf = next(
+        (l for l in jax.tree.leaves(params) if l.ndim == 2 and l.shape[0] == info.total_dims),
+        jax.tree.leaves(params)[0],
+    )
+
+    @jax.jit
+    def gather_only(tbl, batch):
+        ids = jnp.concatenate(
+            [batch[n].reshape(batch_size, -1) for n in info.feature_names]
+            + [batch[s] for s in info.sequence_names],
+            axis=1,
+        )
+        def f(t):
+            return jnp.sum(t[ids] ** 2)
+        return jax.grad(f)(tbl)
+
+    def timed(fn, *args):
+        for _ in range(warmup):
+            out = fn(*args)
+        _checksum(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _checksum(out)
+        return (time.perf_counter() - t0) / iters
+
+    # full step timed with state threading (matches r1 methodology)
     for _ in range(warmup):
         params, opt_state, loss = step(params, opt_state, batch)
-    checksum(params)
+    _checksum(params)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, batch)
-    checksum(params)
-    dt = time.perf_counter() - t0
+    _checksum(params)
+    step_s = (time.perf_counter() - t0) / iters
+
+    fwd_s = timed(fwd_only, params, batch)
+    bwd_s = timed(fwd_bwd, params, batch)
+    gather_s = timed(gather_only, emb_leaf, batch)
     return {
-        "model": name,
-        "examples_per_s": batch_size * iters / dt,
-        "step_ms": dt / iters * 1e3,
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
+        "model": "din",
+        "examples_per_s": batch_size / step_s,
+        "step_ms": step_s * 1e3,
+        "breakdown_ms": {
+            "forward": round(fwd_s * 1e3, 3),
+            "forward_backward": round(bwd_s * 1e3, 3),
+            "full_step": round(step_s * 1e3, 3),
+            "embedding_gather_and_grad_only": round(gather_s * 1e3, 3),
+            "optimizer_and_dispatch": round((step_s - bwd_s) * 1e3, 3),
+        },
+        "platform": __import__("jax").devices()[0].platform,
+        "device": str(__import__("jax").devices()[0]),
+    }
+
+
+def _measure_fm(batch_size=8192, warmup=12, iters=20, sparse=False) -> dict:
+    """FM through the REAL Trainer step (fwd/bwd/optimizer/metrics), dense vs
+    sparse-embedding-update mode (row-sparse Adam on the batch's unique ids —
+    tpurec/embedding/sparse.py)."""
+    import jax
+
+    from tpurec.config import (
+        EmbeddingConfig,
+        ExperimentConfig,
+        ModelConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from tpurec.train import Trainer
+
+    info = _fm_info()
+    cfg = ExperimentConfig(
+        model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=32)),
+        train=TrainConfig(
+            batch_size=batch_size,
+            loss="bce",
+            log_every_steps=0,
+            sparse_embedding=sparse,
+            optimizer=OptimizerConfig(learning_rate=1e-3),
+        ),
+    )
+    trainer = Trainer(cfg, info)
+    batch = _make_batch(info, batch_size, seed=1)
+    state = trainer.init_state(batch)
+    dbatch = trainer.device_batch(batch)
+    mstate = trainer.metrics.init()
+    for _ in range(warmup):
+        state, mstate, _ = trainer.train_step(state, dbatch, mstate)
+    _checksum(state.tables if sparse else state.params)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, mstate, _ = trainer.train_step(state, dbatch, mstate)
+    _checksum(state.tables if sparse else state.params)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "model": "fm_sparse" if sparse else "fm",
+        "examples_per_s": batch_size / dt,
+        "step_ms": dt * 1e3,
     }
 
 
 def main():
     import subprocess
 
-    tpu = _measure()
-    # CPU baseline: same step, same shapes, in a subprocess on the host CPU
+    din = _measure_din()
+    fm = _measure_fm(sparse=False)
+    fm_sparse = _measure_fm(sparse=True)
+    # CPU baseline: same DIN step, same shapes, in a subprocess on host CPU
     try:
         out = subprocess.run(
             [sys.executable, __file__, "--cpu-worker"],
@@ -142,19 +246,24 @@ def main():
         cpu_rate = float(json.loads(out.stdout.strip().splitlines()[-1])["examples_per_s"])
     except Exception:
         cpu_rate = float("nan")
-    vs = tpu["examples_per_s"] / cpu_rate if cpu_rate == cpu_rate else 1.0
+    vs = din["examples_per_s"] / cpu_rate if cpu_rate == cpu_rate else 1.0
     print(
         json.dumps(
             {
-                "metric": f"train examples/s/chip ({tpu['model']})",
-                "value": round(tpu["examples_per_s"], 1),
+                "metric": "train examples/s/chip (din)",
+                "value": round(din["examples_per_s"], 1),
                 "unit": "examples/s",
                 "vs_baseline": round(vs, 2),
                 "detail": {
-                    "step_ms": round(tpu["step_ms"], 2),
-                    "device": tpu["device"],
+                    "din_step_ms": round(din["step_ms"], 2),
+                    "din_breakdown_ms": din["breakdown_ms"],
+                    "fm_examples_per_s": round(fm["examples_per_s"], 1),
+                    "fm_step_ms": round(fm["step_ms"], 2),
+                    "fm_sparse_examples_per_s": round(fm_sparse["examples_per_s"], 1),
+                    "fm_sparse_step_ms": round(fm_sparse["step_ms"], 2),
+                    "device": din["device"],
                     "cpu_examples_per_s": round(cpu_rate, 1) if cpu_rate == cpu_rate else None,
-                    "baseline_definition": "same jitted train step on host CPU",
+                    "baseline_definition": "same jitted DIN train step on host CPU",
                 },
             }
         )
@@ -169,7 +278,7 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        res = _measure(iters=5, warmup=2)
+        res = _measure_din(iters=5, warmup=2)
         print(json.dumps(res))
     else:
         main()

@@ -128,3 +128,123 @@ class TestDinKernel:
         g2 = jax.grad(loss_ref, argnums=tuple(range(5)))(*inputs)
         for x, y in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+
+
+class TestSenetBilinearKernel:
+    def _data(self, b=16, f=6, d=8, r=2, seed=5):
+        rng = np.random.default_rng(seed)
+        emb = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(size=(f, r)).astype(np.float32) * 0.4)
+        b1 = jnp.asarray(rng.normal(size=(r,)).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.normal(size=(r, f)).astype(np.float32) * 0.4)
+        b2 = jnp.asarray(rng.normal(size=(f,)).astype(np.float32) * 0.1)
+        wb = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.3)
+        return emb, w1, w2, wb, b1, b2
+
+    @pytest.mark.parametrize("b", [16, 11])  # 11 → padding path
+    def test_matches_reference(self, b):
+        from tpurec.ops.pallas.kernels import (
+            senet_bilinear_fused,
+            senet_bilinear_reference,
+        )
+
+        args = self._data(b=b)
+        got = senet_bilinear_fused(*args, interpret=True)
+        want = senet_bilinear_reference(*args)
+        assert got.shape == (b, 15, 8)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+
+    def test_matches_module_pair_order(self):
+        """Kernel pair layout must equal SENet→BilinearInteraction('all')."""
+        from tpurec.ops.interactions import BilinearInteraction, SENet
+        from tpurec.ops.pallas.kernels import senet_bilinear_fused
+
+        emb, w1, w2, wb, b1, b2 = self._data()
+        se = SENet(reduction=3)
+        sv = {"params": {"squeeze": {"kernel": w1, "bias": b1},
+                         "excite": {"kernel": w2, "bias": b2}}}
+        v = se.apply(sv, emb)
+        bi = BilinearInteraction(mode="all")
+        want = bi.apply({"params": {"w": wb}}, v)
+        got = senet_bilinear_fused(emb, w1, w2, wb, b1, b2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+
+    def test_gradients(self):
+        from tpurec.ops.pallas.kernels import (
+            senet_bilinear_fused,
+            senet_bilinear_reference,
+        )
+
+        args = self._data(b=8, f=4, d=4)
+        g1 = jax.grad(
+            lambda *a: jnp.sum(senet_bilinear_fused(*a, interpret=True) ** 2),
+            argnums=tuple(range(6)),
+        )(*args)
+        g2 = jax.grad(
+            lambda *a: jnp.sum(senet_bilinear_reference(*a) ** 2),
+            argnums=tuple(range(6)),
+        )(*args)
+        for x, y in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+
+
+class TestCapsuleRoutingKernel:
+    def _data(self, b=16, l=12, d=8, e=8, k=4, seed=6):
+        rng = np.random.default_rng(seed)
+        behavior = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+        lengths = rng.integers(1, l + 1, size=(b,))
+        mask = jnp.asarray((np.arange(l)[None, :] < lengths[:, None]).astype(np.float32))
+        s = jnp.asarray(rng.normal(size=(d, e)).astype(np.float32) * 0.3)
+        logits0 = jnp.asarray(rng.normal(size=(b, k, l)).astype(np.float32))
+        return behavior, mask, s, logits0
+
+    @pytest.mark.parametrize("b", [16, 9])  # 9 → padding path
+    def test_matches_reference(self, b):
+        from tpurec.ops.pallas.kernels import (
+            capsule_routing_fused,
+            capsule_routing_reference,
+        )
+
+        args = self._data(b=b)
+        got = capsule_routing_fused(*args, num_iters=3, interpret=True)
+        want = capsule_routing_reference(*args, num_iters=3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=1e-5)
+
+    def test_matches_module(self):
+        """Same math as CapsuleRouting('shared') given its logit init."""
+        from tpurec.ops.capsule import CapsuleRouting
+        from tpurec.ops.pallas.kernels import capsule_routing_fused
+
+        behavior, mask, s, _ = self._data()
+        b, _, _ = behavior.shape
+        k = 4
+        mod = CapsuleRouting(num_capsules=k, dim=8, mode="shared")
+        caps, _ = mod.apply({"params": {"S": s}}, behavior, mask)
+        logits0 = jnp.broadcast_to(
+            jax.random.normal(jax.random.key(7), (1, k, behavior.shape[1]), jnp.float32),
+            (b, k, behavior.shape[1]),
+        )
+        got = capsule_routing_fused(behavior, mask, s, logits0, num_iters=3, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(caps), rtol=2e-4, atol=1e-5)
+
+    def test_gradients(self):
+        from tpurec.ops.pallas.kernels import (
+            capsule_routing_fused,
+            capsule_routing_reference,
+        )
+
+        behavior, mask, s, logits0 = self._data(b=8, l=6, d=4, e=4)
+        g1 = jax.grad(
+            lambda beh, ss: jnp.sum(
+                capsule_routing_fused(beh, mask, ss, logits0, num_iters=3, interpret=True) ** 2
+            ),
+            argnums=(0, 1),
+        )(behavior, s)
+        g2 = jax.grad(
+            lambda beh, ss: jnp.sum(
+                capsule_routing_reference(beh, mask, ss, logits0, num_iters=3) ** 2
+            ),
+            argnums=(0, 1),
+        )(behavior, s)
+        for x, y in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)

@@ -136,6 +136,75 @@ class TabularDataGenerator:
             json.dump(item_profile, f)
 
 
+class RankingTableGenerator:
+    """Flat impression-table pipeline — the 3.DCN data family.
+
+    One CSV with a header row: a timestamp column, any number of categorical
+    columns (here uid/iid/utag1-4/itag1-4 — the reference's chapter-3 layout,
+    3.DCN/ModelManager.py:14-15), any number of ``*_origin`` continuous
+    columns (expanded to origin/square/cube triples exactly like the
+    reference derives them, 4.MMOE/DataGenerator.py:114-116), and a binary
+    label column. Categoricals are offset label-encoded into the shared id
+    space; the timestamp percentile splits train/test like the ch.2 pipeline.
+    """
+
+    def __init__(
+        self,
+        output_path: str,
+        main_path: str,
+        label_name: str = "ctr",
+        timestamp_column: str = "timestamp",
+        split_percentile: float = 80.0,
+        records_per_file: int = 200_000,
+    ):
+        self.output_path = output_path
+        self.main_path = main_path
+        self.label_name = label_name
+        self.timestamp_column = timestamp_column
+        self.split_percentile = split_percentile
+        self.records_per_file = records_per_file
+        self.encoder: Optional[FeatureEncoder] = None
+        self.info: Optional[DataInfo] = None
+
+    def run_all(self) -> DataInfo:
+        _clean_dir(self.output_path)
+        df = pd.read_csv(self.main_path)
+        special = {self.timestamp_column, self.label_name}
+        origin_cols = [c for c in df.columns if c.endswith("_origin")]
+        cat_cols = [
+            c for c in df.columns if c not in special and c not in origin_cols
+        ]
+        self.encoder = FeatureEncoder(cat_cols)
+        self.info = self.encoder.fit({c: df[c].tolist() for c in cat_cols})
+        encoded = {
+            c: df[c].astype(str).map(self.encoder.recorder[c]).to_numpy(np.int64)
+            for c in cat_cols
+        }
+        cont_names: List[str] = []
+        for c in origin_cols:
+            stem = c[: -len("_origin")]
+            v = df[c].to_numpy(np.float32)
+            encoded[c] = v
+            encoded[f"{stem}_square"] = v * v
+            encoded[f"{stem}_cube"] = v * v * v
+            cont_names += [c, f"{stem}_square", f"{stem}_cube"]
+        self.info.continuous_names = cont_names
+        self.info.label_names = ["label"]
+        self.info.user_features = [c for c in cat_cols if c.startswith("u")]
+        self.info.item_features = [c for c in cat_cols if c.startswith("i")]
+        encoded["label"] = df[self.label_name].to_numpy(np.float32)
+        threshold = np.percentile(df[self.timestamp_column], self.split_percentile)
+        is_test = df[self.timestamp_column].to_numpy() >= threshold
+        for kind, sel in (("train", ~is_test), ("test", is_test)):
+            write_columnar_shards(
+                self.output_path, kind,
+                {c: v[sel] for c, v in encoded.items()}, self.records_per_file,
+            )
+        self.info.save(self.output_path)
+        self.encoder.save(self.output_path)
+        return self.info
+
+
 class ImpressionLogGenerator:
     """Reference 4.MMOE pipeline: JSON-lines with nested features and a
     '0$#0' ctr/cvr label; derived square/cube continuous features

@@ -71,6 +71,19 @@ def make_ecommerce_raw(
     user_path = os.path.join(output_dir, "user_feature.dat")
     item_path = os.path.join(output_dir, "item_feature.dat")
     main_path = os.path.join(output_dir, "shop.dat")
+    # Planted-parameter dump so harnesses can compute the Bayes oracle
+    # numerically (oracle AUC over the event log; oracle recall@k by scoring
+    # every item for a user with the TRUE affinities) instead of quoting
+    # prose estimates. Not consumed by any model.
+    oracle_path = os.path.join(output_dir, "oracle.npz")
+    np.savez(
+        oracle_path,
+        u1=u1, u2=u2, i1=i1, i2=i2, i3=i3,
+        a11=a11, a22=a22, a13=a13,
+        signal=signal, base=base,
+        event_users=users, event_items=items, event_labels=labels,
+        event_scores=score,
+    )
     with open(user_path, "w") as f:
         for uid in range(n_users):
             f.write(f"u{uid},ut1_{u1[uid]},ut2_{u2[uid]}\n")
@@ -80,7 +93,129 @@ def make_ecommerce_raw(
     with open(main_path, "w") as f:
         for k in range(n_events):
             f.write(f"{timestamps[k]},u{users[k]},i{items[k]},{labels[k]}\n")
-    return {"user_path": user_path, "item_path": item_path, "main_path": main_path}
+    return {
+        "user_path": user_path,
+        "item_path": item_path,
+        "main_path": main_path,
+        "oracle_path": oracle_path,
+    }
+
+
+def _score_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Mann-Whitney AUC (scores here are continuous — ties negligible)."""
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    pos = labels > 0
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def make_dcn_raw(
+    output_dir: str,
+    n_users: int = 30_000,
+    n_items: int = 12_000,
+    n_events: int = 600_000,
+    utag_dims: Tuple[int, ...] = (25, 18, 12, 8),
+    itag_dims: Tuple[int, ...] = (40, 25, 15, 10),
+    target_oracle_auc: float = 0.615,
+    continuous_share: float = 0.35,
+    seed: int = 0,
+) -> Dict[str, str]:
+    """Weak-signal impression table — the 3.DCN data regime.
+
+    The reference's chapter-3 models train on real production impressions
+    with features uid/iid/utag1-4/itag1-4 + itag4_origin/square/cube
+    (3.DCN/ModelManager.py:14-15) where the headline baselines are FM eval
+    AUC 0.5879 and AutoInt 0.5972 (BASELINE.md) — i.e. the signal is close
+    to noise. This generator plants the same regime synthetically:
+
+    - per-user / per-item latent biases (learnable only partially at ~20
+      events per user — the high-cardinality weak-data effect),
+    - weak additive tag main effects + a low-rank utag1×itag1 affinity,
+    - a cubic effect of the per-item continuous feature ``itag4_origin``
+      — exactly a linear function of the derived origin/square/cube
+      columns, so models that consume continuous inputs (AutoInt, DCN)
+      can capture it while the categorical-only FM cannot: the planted
+      source of the reference's FM < AutoInt ordering.
+
+    The total score is auto-scaled so the Bayes-oracle AUC of the sampled
+    labels hits ``target_oracle_auc`` (numeric calibration, not prose);
+    planted parameters are dumped to oracle.npz.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(output_dir, exist_ok=True)
+    utags = [rng.integers(0, d, n_users) for d in utag_dims]
+    itags = [rng.integers(0, d, n_items) for d in itag_dims]
+    item_v = rng.random(n_items).astype(np.float32)  # itag4_origin source
+
+    b_user = rng.normal(0, 1.0, n_users)
+    b_item = rng.normal(0, 1.0, n_items)
+    m_ut = [rng.normal(0, 1.0, d) for d in utag_dims]
+    m_it = [rng.normal(0, 1.0, d) for d in itag_dims]
+    cross = rng.normal(0, 1, (utag_dims[0], 2)) @ rng.normal(0, 1, (2, itag_dims[0]))
+    cross /= np.sqrt(2)
+
+    users = rng.integers(0, n_users, n_events)
+    items = rng.integers(0, n_items, n_events)
+    # categorical part: biases + tag mains + one weak cross
+    s_cat = (
+        0.45 * (b_user[users] + b_item[items])
+        + 0.35 * sum(m[t[users]] for m, t in zip(m_ut, utags))
+        / np.sqrt(len(utag_dims))
+        + 0.35 * sum(m[t[items]] for m, t in zip(m_it, itags))
+        / np.sqrt(len(itag_dims))
+        + 0.4 * cross[utags[0][users], itags[0][items]]
+    )
+    # continuous part: cubic in itag4_origin (linear in origin/sq/cube)
+    v = item_v[items]
+    s_cont = v**3 - 0.7 * v
+    s_cont = (s_cont - s_cont.mean()) / s_cont.std()
+    s_cat = (s_cat - s_cat.mean()) / s_cat.std()
+    score = np.sqrt(1 - continuous_share) * s_cat + np.sqrt(continuous_share) * s_cont
+
+    # bisection on the global scale so oracle AUC == target (sampled labels)
+    base = -1.2  # negative-skewed CTR like production logs
+    lo, hi, scale = 0.0, 4.0, 1.0
+    sub = slice(0, min(200_000, n_events))
+    cal_rng = np.random.default_rng(seed + 1)
+    cal_u = cal_rng.random(len(score[sub]))
+    for _ in range(18):
+        scale = 0.5 * (lo + hi)
+        lab = (cal_u < _sigmoid(base + scale * score[sub])).astype(np.int64)
+        auc = _score_auc(score[sub], lab)
+        if auc < target_oracle_auc:
+            lo = scale
+        else:
+            hi = scale
+    labels = (rng.random(n_events) < _sigmoid(base + scale * score)).astype(np.int64)
+    timestamps = np.sort(rng.integers(1_600_000_000, 1_700_000_000, n_events))
+
+    main_path = os.path.join(output_dir, "impression.csv")
+    cols = ["timestamp", "uid", "iid"]
+    cols += [f"utag{j+1}" for j in range(len(utag_dims))]
+    cols += [f"itag{j+1}" for j in range(len(itag_dims))]
+    cols += ["itag4_origin", "ctr"]
+    with open(main_path, "w") as f:
+        f.write(",".join(cols) + "\n")
+        for k in range(n_events):
+            u, i = users[k], items[k]
+            row = [str(timestamps[k]), f"u{u}", f"i{i}"]
+            row += [f"ut{j+1}_{t[u]}" for j, t in enumerate(utags)]
+            row += [f"it{j+1}_{t[i]}" for j, t in enumerate(itags)]
+            row += [f"{item_v[i]:.6f}", str(labels[k])]
+            f.write(",".join(row) + "\n")
+    oracle_path = os.path.join(output_dir, "oracle.npz")
+    np.savez(
+        oracle_path,
+        event_scores=score,
+        event_labels=labels,
+        scale=scale,
+        base=base,
+        oracle_auc=_score_auc(score, labels),
+        cat_only_auc=_score_auc(s_cat, labels),
+    )
+    return {"main_path": main_path, "oracle_path": oracle_path}
 
 
 def make_impression_log_raw(
@@ -236,4 +371,16 @@ def make_behavior_sequence_raw(
     with open(profile_path, "w") as f:
         for i in range(n_items):
             f.write(json.dumps({"item_id": f"i{i}", "item_tag": f"it{i_tag[i]}"}) + "\n")
-    return {"events_path": events_path, "item_profile_path": profile_path}
+    # planted-parameter dump: lets harnesses compute Bayes oracle AUC /
+    # recall@k numerically (rank every item by the TRUE score for a user)
+    oracle_path = os.path.join(output_dir, "oracle.npz")
+    np.savez(
+        oracle_path,
+        user_topic=user_topic, item_topic=item_topic, affinity=affinity,
+        u_tag=u_tag, i_tag=i_tag, signal=signal, n_topics=n_topics,
+    )
+    return {
+        "events_path": events_path,
+        "item_profile_path": profile_path,
+        "oracle_path": oracle_path,
+    }

@@ -33,6 +33,7 @@ from tpurec.ops.interactions import (
     CrossNetwork,
     CrossNetworkMatrix,
     SENet,
+    SENetBilinear,
     fm_second_order,
 )
 from tpurec.ops.mlp import MLP
@@ -248,9 +249,13 @@ class FiBiNet(_EmbedBase):
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
         emb = self.embed(inputs)
         b = emb.shape[0]
-        se = SENet(self.reduction, dtype=self.dtype, name="senet")(emb)
         p1 = BilinearInteraction(self.bilinear_mode, dtype=self.dtype, name="bilinear_raw")(emb)
-        p2 = BilinearInteraction(self.bilinear_mode, dtype=self.dtype, name="bilinear_se")(se)
+        if self.bilinear_mode == "all":
+            # SENet → bilinear fused in one Pallas kernel on TPU
+            p2 = SENetBilinear(self.reduction, dtype=self.dtype, name="senet_bilinear")(emb)
+        else:
+            se = SENet(self.reduction, dtype=self.dtype, name="senet")(emb)
+            p2 = BilinearInteraction(self.bilinear_mode, dtype=self.dtype, name="bilinear_se")(se)
         x = jnp.concatenate([p1.reshape(b, -1), p2.reshape(b, -1)], axis=-1)
         h = MLP(self.hidden_dims, dtype=self.dtype, name="mlp")(x, train=train)
         logit = nn.Dense(1, dtype=self.dtype, name="head")(h)

@@ -132,13 +132,28 @@ class DSSMTwoTowerRetrieval(nn.Module):
         )
         self.u_tower = DSSMTower(feature_names=self.user_features, **common)
         self.i_tower = DSSMTower(feature_names=self.item_features, **common)
+        self.logit_scale = self.param(
+            "logit_scale", nn.initializers.constant(2.0), (), jnp.float32
+        )
+        self.logit_bias = self.param(
+            "logit_bias", nn.initializers.zeros_init(), (), jnp.float32
+        )
 
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
         u = self.u_tower(inputs, train=train)
         i = self.i_tower(inputs, train=train)
         sim = cosine_similarity(u.astype(jnp.float32), i.astype(jnp.float32))
+        # Learned temperature + base-rate bias for the BCE loss. The
+        # reference trains BCE directly on the bounded 0.5*(1+cos) output
+        # (2.FM/ModelManager.py init_loss + CustomLayers.py:233-239), which
+        # forces cosine toward ±1 to express confident probabilities — a
+        # gradient pathology on skewed CTR data. logit = softplus(s)·cos + b
+        # is strictly monotone in cos, so ranking (AUC, top-k retrieval) is
+        # identical to the reference's output; only optimization improves.
+        scale = nn.softplus(self.logit_scale)
         return {
             "output": 0.5 * (sim + 1.0),
+            "logit": scale * sim + self.logit_bias,
             "user_embedding": u,
             "item_embedding": i,
         }

@@ -59,6 +59,26 @@ class CapsuleRouting(nn.Module):
         k = self.num_capsules
         if self.mode == "shared":
             s = self.param("S", nn.initializers.glorot_uniform(), (d, self.dim), jnp.float32)
+            from tpurec.ops.pallas.kernels import (
+                capsule_routing_fused,
+                pallas_available,
+            )
+
+            if pallas_available():
+                # all routing iterations fused in one Pallas kernel: u_hat
+                # stays VMEM-resident instead of being re-read from HBM by
+                # every iteration's two einsums (same math + VJP — parity
+                # pinned by tests/test_pallas.py::TestCapsuleRoutingKernel)
+                logits0 = jnp.broadcast_to(
+                    jax.random.normal(jax.random.key(7), (1, k, l), jnp.float32),
+                    (b, k, l),
+                )
+                capsules = capsule_routing_fused(
+                    behavior.astype(jnp.float32), mask.astype(jnp.float32),
+                    s, logits0, self.num_iterations,
+                ).astype(behavior.dtype)
+                seq_len = jnp.sum(mask, axis=-1)
+                return capsules, valid_capsule_mask(seq_len, k)
             u_hat = jnp.einsum("bld,de->ble", behavior, s.astype(behavior.dtype))
             u_hat = jnp.broadcast_to(u_hat[:, None], (b, k, l, self.dim))
         else:  # per-capsule-per-position maps (ComiRec-DR, :547-549)

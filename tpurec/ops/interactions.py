@@ -138,6 +138,37 @@ class BilinearInteraction(nn.Module):
         raise ValueError(f"unknown bilinear mode {self.mode!r}")
 
 
+class SENetBilinear(nn.Module):
+    """SENet reweighting followed by bilinear 'all'-mode pair products as ONE
+    op (the FiBiNet hot path: SENetLayer 3.DCN/CustomLayers.py:954-974 →
+    BilinearInteractionLayer :977-1009). On TPU the two stages run fused in a
+    single Pallas kernel (tpurec.ops.pallas.kernels.senet_bilinear_fused) —
+    the reweighted tensor and its bilinear map never round-trip HBM. Owns the
+    same parameters as SENet + BilinearInteraction('all'). Returns (B, P, D)."""
+
+    reduction: int = 3
+    dtype: Optional[type] = None
+
+    @nn.compact
+    def __call__(self, emb: jnp.ndarray) -> jnp.ndarray:
+        b, f, d = emb.shape
+        r = max(1, f // self.reduction)
+        w1 = self.param("squeeze_kernel", nn.initializers.glorot_uniform(), (f, r), jnp.float32)
+        b1 = self.param("squeeze_bias", nn.initializers.zeros_init(), (r,), jnp.float32)
+        w2 = self.param("excite_kernel", nn.initializers.glorot_uniform(), (r, f), jnp.float32)
+        b2 = self.param("excite_bias", nn.initializers.zeros_init(), (f,), jnp.float32)
+        wb = self.param("w", nn.initializers.glorot_uniform(), (d, d), jnp.float32)
+        from tpurec.ops.pallas.kernels import (
+            pallas_available,
+            senet_bilinear_fused,
+            senet_bilinear_reference,
+        )
+
+        fn = senet_bilinear_fused if pallas_available() else senet_bilinear_reference
+        out = fn(emb.astype(jnp.float32), w1, w2, wb, b1, b2)
+        return out.astype(emb.dtype)
+
+
 class CrossNetwork(nn.Module):
     """DCN vector cross: x_{l+1} = x0 · (x_lᵀ w_l) + b_l + x_l
     (reference CrossLayer recurrence, 3.DCN/CustomLayers.py:195-203)."""

@@ -384,3 +384,260 @@ def _din_bwd(block_b, interpret, res, g):
 
 
 din_attention_fused.defvjp(_din_fwd, _din_bwd)
+
+
+# ===========================================================================
+# SENet excitation + bilinear 'all' pair products, fused (FiBiNet hot path)
+def senet_bilinear_reference(
+    emb: jnp.ndarray,  # (B, F, D)
+    w1: jnp.ndarray,  # (F, R) squeeze
+    w2: jnp.ndarray,  # (R, F) excite
+    wb: jnp.ndarray,  # (D, D) shared bilinear map ('all' mode)
+    b1: Optional[jnp.ndarray] = None,  # (R,)
+    b2: Optional[jnp.ndarray] = None,  # (F,)
+) -> jnp.ndarray:
+    """SENet reweighting (mean-squeeze → relu bottleneck → relu excite,
+    reference SENetLayer 3.DCN/CustomLayers.py:954-974) followed by bilinear
+    field-pair products p_ij = (v_i W) ∘ v_j in 'all' weight-sharing mode
+    (BilinearInteractionLayer :977-1009). Returns (B, P, D), P = F(F−1)/2,
+    pairs in np.triu_indices order."""
+    z = jnp.mean(emb, axis=-1)  # (B, F)
+    a = z @ w1
+    if b1 is not None:
+        a = a + b1
+    a = jnp.maximum(a, 0.0) @ w2
+    if b2 is not None:
+        a = a + b2
+    a = jnp.maximum(a, 0.0)
+    v = emb * a[..., None]
+    left = jnp.einsum("bfd,de->bfe", v, wb)
+    iu, ju = np.triu_indices(emb.shape[1], k=1)
+    return left[:, iu, :] * v[:, ju, :]
+
+
+def _senet_bilinear_kernel(emb_ref, w1_ref, b1_ref, w2_ref, b2_ref, wb_ref, out_ref):
+    # field-LAST layout (Bt, D, F) throughout — same trick as the CIN kernel:
+    # keeping D in sublanes and F/P in lanes avoids the 4× lane padding a
+    # (Bt, P, 32) tile would pay (D=32 < the 128-lane tile)
+    e = emb_ref[:].astype(jnp.float32)  # (Bt, D, F)
+    bt, d, f = e.shape
+    z = jnp.mean(e, axis=1)  # (Bt, F)
+    a = jnp.maximum(
+        jnp.dot(z, w1_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        + b1_ref[:].astype(jnp.float32),
+        0.0,
+    )
+    a = jnp.maximum(
+        jnp.dot(a, w2_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+        + b2_ref[:].astype(jnp.float32),
+        0.0,
+    )  # (Bt, F)
+    v = e * a[:, None, :]
+    # left[b,dd,f] = Σ_d' wb[d',dd]·v[b,d',f] — batched MXU contraction with
+    # wb broadcast over the batch tile (Mosaic supports batched dot_general)
+    wb_b = jnp.broadcast_to(wb_ref[:].astype(jnp.float32)[None], (bt, d, d))
+    left = jax.lax.dot_general(
+        wb_b, v, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (Bt, D, F)
+    # upper-triangle pairs, unrolled over the anchor field i (static, F−1
+    # slices) — row-major (i, j>i) order matches np.triu_indices
+    offset = 0
+    for i in range(f - 1):
+        cnt = f - 1 - i
+        out_ref[:, :, offset : offset + cnt] = left[:, :, i : i + 1] * v[:, :, i + 1 :]
+        offset += cnt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def senet_bilinear_fused(
+    emb: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    wb: jnp.ndarray,
+    b1: Optional[jnp.ndarray] = None,
+    b2: Optional[jnp.ndarray] = None,
+    block_b: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SENet → bilinear: the reweighted embedding tensor v and the
+    mapped tensor (v·W) live only in VMEM per batch tile — the unfused path
+    round-trips both (B·F·D each) plus the squeeze/excite activations
+    through HBM between the five XLA ops."""
+    b, f, d = emb.shape
+    r = w1.shape[1]
+    p = f * (f - 1) // 2
+    if b1 is None:
+        b1 = jnp.zeros((r,), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((f,), jnp.float32)
+    bb = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, bb)
+    e_in = jnp.swapaxes(emb, 1, 2)  # (B, D, F) — see kernel layout note
+    if b_pad != b:
+        e_in = jnp.pad(e_in, ((0, b_pad - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        _senet_bilinear_kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, d, p), jnp.float32),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, d, f), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, d, p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(e_in, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1), wb)
+    return jnp.swapaxes(out[:b], 1, 2).astype(emb.dtype)
+
+
+def _senet_fwd(emb, w1, w2, wb, b1, b2, block_b, interpret):
+    out = senet_bilinear_fused(emb, w1, w2, wb, b1, b2, block_b, interpret)
+    return out, (emb, w1, w2, wb, b1, b2)
+
+
+def _senet_bwd(block_b, interpret, res, g):
+    emb, w1, w2, wb, b1, b2 = res
+    had_b1, had_b2 = b1 is not None, b2 is not None
+    if b1 is None:
+        b1 = jnp.zeros((w1.shape[1],), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((w2.shape[1],), jnp.float32)
+    _, vjp = jax.vjp(
+        senet_bilinear_reference,
+        emb.astype(jnp.float32),
+        w1.astype(jnp.float32),
+        w2.astype(jnp.float32),
+        wb.astype(jnp.float32),
+        b1.astype(jnp.float32),
+        b2.astype(jnp.float32),
+    )
+    grads = list(vjp(g.astype(jnp.float32)))
+    if not had_b1:
+        grads[4] = None
+    if not had_b2:
+        grads[5] = None
+    return tuple(grads)
+
+
+senet_bilinear_fused.defvjp(_senet_fwd, _senet_bwd)
+
+
+# ===========================================================================
+# capsule dynamic routing ('shared' bilinear map — MIND), all iterations fused
+def capsule_routing_reference(
+    behavior: jnp.ndarray,  # (B, L, D)
+    mask: jnp.ndarray,  # (B, L)
+    s: jnp.ndarray,  # (D, E) shared bilinear map
+    logits0: jnp.ndarray,  # (B, K, L) routing-logit init (non-trainable)
+    num_iters: int = 3,
+) -> jnp.ndarray:
+    """Dynamic routing (reference MultiInterestExtractorLayer,
+    6.MIND/CustomLayers.py:105-138): iterate masked softmax over capsules →
+    weighted sum of u_hat = behavior·S → squash → logit update. Intermediate
+    iterations run on stop-gradient(u_hat); the last uses the live value
+    (so the VJP matches tpurec.ops.capsule.CapsuleRouting). Returns (B, K, E)."""
+    from tpurec.ops.capsule import squash
+
+    u_hat = jnp.einsum("bld,de->ble", behavior, s)
+    u_sg = jax.lax.stop_gradient(u_hat)
+    seq_mask = mask.astype(bool)[:, None, :]
+    logits = logits0
+    capsules = None
+    for it in range(num_iters):
+        masked = jnp.where(seq_mask, logits, -1e9)
+        w = jax.nn.softmax(masked, axis=1) * mask[:, None, :]
+        src = u_hat if it == num_iters - 1 else u_sg
+        z = jnp.einsum("bkl,ble->bke", w, src)
+        capsules = squash(z)
+        if it < num_iters - 1:
+            logits = logits + jnp.einsum("bke,ble->bkl", capsules, u_sg)
+    return capsules
+
+
+def _capsule_kernel(num_iters, beh_ref, m_ref, s_ref, l0_ref, out_ref):
+    beh = beh_ref[:].astype(jnp.float32)  # (Bt, L, D)
+    mask = m_ref[:].astype(jnp.float32)  # (Bt, L)
+    bt, l, d = beh.shape
+    u = jnp.dot(
+        beh.reshape(bt * l, d), s_ref[:].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(bt, l, -1)  # (Bt, L, E) — resident in VMEM for ALL iterations
+    logits = l0_ref[:].astype(jnp.float32)  # (Bt, K, L)
+    neg = -1e9 * (1.0 - mask)[:, None, :]
+    caps = None
+    for it in range(num_iters):  # static unroll — 3 iterations
+        w = jax.nn.softmax(logits + neg, axis=1) * mask[:, None, :]
+        # z[b,k,:] = Σ_l w[b,k,l]·u[b,l,:] — batched MXU matmul
+        z = jax.lax.dot_general(
+            w, u, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (Bt, K, E)
+        sq = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+        caps = (sq / (1.0 + sq)) * z * jax.lax.rsqrt(sq + 1e-9)
+        if it < num_iters - 1:
+            # logits += caps·uᵀ — the agreement term, again one batched dot
+            logits = logits + jax.lax.dot_general(
+                caps, u, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (Bt, K, L)
+    out_ref[:] = caps
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def capsule_routing_fused(
+    behavior: jnp.ndarray,
+    mask: jnp.ndarray,
+    s: jnp.ndarray,
+    logits0: jnp.ndarray,
+    num_iters: int = 3,
+    block_b: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused dynamic routing: u_hat (B·L·E) is computed once and stays in
+    VMEM across all routing iterations — the unfused path re-reads it from
+    HBM for the two einsums of every iteration (≈ 2·iters·B·L·E·4 bytes)."""
+    b, l, d = behavior.shape
+    k = logits0.shape[1]
+    e = s.shape[1]
+    bb = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, bb)
+    if b_pad != b:
+        behavior = jnp.pad(behavior, ((0, b_pad - b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad - b), (0, 0)))
+        logits0 = jnp.pad(logits0, ((0, b_pad - b), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_capsule_kernel, num_iters),
+        out_shape=jax.ShapeDtypeStruct((b_pad, k, e), jnp.float32),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, k, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, k, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(behavior, mask, s, logits0)
+    return out[:b].astype(behavior.dtype)
+
+
+def _capsule_fwd(behavior, mask, s, logits0, num_iters, block_b, interpret):
+    out = capsule_routing_fused(behavior, mask, s, logits0, num_iters, block_b, interpret)
+    return out, (behavior, mask, s, logits0)
+
+
+def _capsule_bwd(num_iters, block_b, interpret, res, g):
+    behavior, mask, s, logits0 = res
+    _, vjp = jax.vjp(
+        lambda beh, ss, l0: capsule_routing_reference(beh, mask, ss, l0, num_iters),
+        behavior.astype(jnp.float32),
+        s.astype(jnp.float32),
+        logits0.astype(jnp.float32),
+    )
+    db, ds, dl0 = vjp(g.astype(jnp.float32))
+    return db, None, ds, dl0
+
+
+capsule_routing_fused.defvjp(_capsule_fwd, _capsule_bwd)
