@@ -349,7 +349,9 @@ def main():
         train_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "train"))
         test_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "test"))
         if "fm_weak" in models:
-            _, _, rep = run_ranking("fm", info_w, train_w, test_w, epochs, lr=0.005)
+            # weak signals converge slowly (reference ran 30 epochs,
+            # 3.DCN/ModelManager.py:18) — double budget, early-stop bounds it
+            _, _, rep = run_ranking("fm", info_w, train_w, test_w, epochs * 2, lr=0.005)
             results["fm_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],
                 "target": 0.5879,
@@ -359,7 +361,7 @@ def main():
             }
         if "autoint_weak" in models:
             _, _, rep = run_ranking(
-                "autoint", info_w, train_w, test_w, epochs, lr=0.002
+                "autoint", info_w, train_w, test_w, epochs * 2, lr=0.002
             )
             results["autoint_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],

@@ -124,3 +124,67 @@ def test_din_end_to_end_sequence_pipeline(tmp_path):
     # keeps climbing — full-convergence parity is checked
     # by the benchmark harness, not unit tests
     assert report["best_eval"]["auc"] > 0.62, report
+
+
+def test_dien_pipeline_sampled_negatives(tmp_path):
+    """neg_<series> columns from the generator feed the DIEN aux loss
+    (reference neg_hist_seq, 5.DIN/DataGenerator.py + get_auxiliary_loss
+    5.DIN/CustomLayers.py:434-453)."""
+    raw = make_behavior_sequence_raw(
+        str(tmp_path / "raw"), n_users=80, n_items=60, n_events=600, max_history=12
+    )
+    gen = SequenceDataGenerator(str(tmp_path / "gen"), raw["events_path"], max_seq_length=12)
+    info = gen.run_all()
+    train = load_columnar(shard_paths(str(tmp_path / "gen"), "train"))
+    for s in info.sequence_names:
+        neg, hist = train[f"neg_{s}"], train[s]
+        # negatives live in the same feature block, only at real positions,
+        # and never equal the positive behavior
+        assert neg.shape == hist.shape
+        assert np.all((neg == 0) == (hist == 0))
+        real = hist != 0
+        assert np.all(neg[real] != hist[real])
+        j = info.feature_names.index(
+            info.sequence_query_features[info.sequence_names.index(s)]
+        )
+        off, dim = info.feature_offsets[j], info.feature_dims[j]
+        assert neg[real].min() >= off and neg[real].max() < off + dim
+
+    # model consumes them: aux loss differs from the batch-rolled fallback
+    model = build_model(ModelConfig(name="dien", embedding=EmbeddingConfig(dim=8)), info)
+    batch = {k: jnp.asarray(v[:32]) for k, v in train.items()}
+    variables = model.init(jax.random.key(0), batch)
+    out_neg = model.apply(
+        variables, batch, train=True, rngs={"dropout": jax.random.key(1)}
+    )
+    batch_no_neg = {k: v for k, v in batch.items() if not k.startswith("neg_")}
+    out_roll = model.apply(
+        variables, batch_no_neg, train=True, rngs={"dropout": jax.random.key(1)}
+    )
+    a, b = float(out_neg["auxiliary_loss"]), float(out_roll["auxiliary_loss"])
+    assert np.isfinite(a) and np.isfinite(b) and a != b
+
+
+def test_dien_sampled_negatives_sparse_mode(tmp_path):
+    """Sparse-embedding mode rewrites neg_* ids into row-position space too —
+    training with sampled negatives must match shapes and stay finite."""
+    raw = make_behavior_sequence_raw(
+        str(tmp_path / "raw"), n_users=60, n_items=50, n_events=400, max_history=8
+    )
+    gen = SequenceDataGenerator(str(tmp_path / "gen"), raw["events_path"], max_seq_length=8)
+    info = gen.run_all()
+    train = load_columnar(shard_paths(str(tmp_path / "gen"), "train"))
+    cfg = ExperimentConfig(
+        model=ModelConfig(name="dien", embedding=EmbeddingConfig(dim=8)),
+        train=TrainConfig(
+            batch_size=64, epochs=1, log_every_steps=0, loss="bce",
+            sparse_embedding=True,
+            optimizer=OptimizerConfig(learning_rate=0.01),
+        ),
+    )
+    trainer = Trainer(cfg, info)
+    state, report = trainer.run(
+        lambda: iter(ArrayLoader(train, 64, seed=1)),
+        lambda: iter(ArrayLoader(train, 64, shuffle=False)),
+    )
+    assert np.isfinite(report["best_eval"]["loss"])

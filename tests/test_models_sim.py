@@ -157,3 +157,34 @@ def test_sim_trains_with_gsu_esu_loss():
     # climbing (0.74 @ 12) — unit test asserts clear learning, parity runs
     # belong to the benchmark harness
     assert report["best_eval"]["auc"] > 0.64, report
+
+
+def test_eta_lsh_self_attention_mode():
+    """ETA's opt-in Reformer-style bucketed self-attention over the long-term
+    series (reference LSHAttention, 7.SIM/CustomLayers.py:453-515)."""
+    from tpurec.config import EmbeddingConfig, ModelConfig
+
+    model = build_model(
+        ModelConfig(
+            name="eta",
+            embedding=EmbeddingConfig(dim=16),
+            params={"lsh_self_attention": True},
+        ),
+        INFO,
+    )
+    inputs = make_batch()
+    variables = model.init(jax.random.key(0), inputs)
+    assert "lsh_self_proj" in variables["constants"]
+    out = model.apply(variables, inputs, train=True, rngs={"dropout": jax.random.key(1)})
+    assert out["esu_logits"].shape == (6, 2)
+    assert np.all(np.isfinite(np.asarray(out["esu_logits"])))
+    # grads flow through the bucketed attention path
+    def loss(p):
+        o = model.apply(
+            {"params": p, "constants": variables["constants"]},
+            inputs, train=True, rngs={"dropout": jax.random.key(1)},
+        )
+        return jnp.mean(o["esu_logits"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))

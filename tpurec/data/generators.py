@@ -302,6 +302,7 @@ class SequenceDataGenerator:
         records_per_file: int = 200_000,
         context_features: Sequence[str] = (),
         sequence_specs: Optional[Dict[str, str]] = None,
+        emit_negative_series: bool = True,
         seed: int = 0,
     ):
         self.output_path = output_path
@@ -319,6 +320,9 @@ class SequenceDataGenerator:
         self.sequence_specs = sequence_specs
         self.seed = seed
         self.info: Optional[DataInfo] = None
+        # emit a sampled ``neg_<series>`` column per behavior series for the
+        # DIEN auxiliary loss (reference neg_hist_seq, 5.DIN/DataGenerator.py)
+        self.emit_negative_series = emit_negative_series
 
     def run_all(self) -> DataInfo:
         _clean_dir(self.output_path)
@@ -380,6 +384,7 @@ class SequenceDataGenerator:
             name: np.asarray([maps[name][r[name]] for r in records], np.int64)
             for name in names
         }
+        neg_rng = np.random.default_rng(self.seed + 1)
         for series, feat in specs.items():
             fmap = maps[feat]
             hist = np.zeros((n, L), np.int64)
@@ -387,6 +392,17 @@ class SequenceDataGenerator:
                 h = [fmap[x] for x in r[series][-L:]]
                 hist[i, : len(h)] = h
             cols[series] = hist
+            if self.emit_negative_series:
+                # pipeline-sampled negative behaviors for the DIEN auxiliary
+                # loss (the reference prepares neg_hist_seq data-side from a
+                # negative-sample dict, 5.DIN/DataGenerator.py): uniform ids
+                # from the same feature block, never equal to the positive,
+                # zero at padding positions
+                j = names.index(feat)
+                off, dim = offsets[j], dims[j]
+                neg = neg_rng.integers(off, off + dim, size=hist.shape)
+                neg = np.where(neg == hist, off + (neg - off + 1) % dim, neg)
+                cols[f"neg_{series}"] = np.where(hist != 0, neg, 0)
         cols["label"] = np.asarray([float(r["label"]) for r in records], np.float32)
         if has_conv:
             cols["ctr"] = cols["label"]

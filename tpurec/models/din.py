@@ -94,8 +94,11 @@ class DIEN(_SeqBase):
 
     Auxiliary loss (reference get_auxiliary_loss :434-453): for each step t,
     the extracted interest h_t should score the *actual* next behavior
-    e_{t+1} above a negative; negatives are the next behaviors of the
-    batch-rolled neighbor (jittable stand-in for random sampling)."""
+    e_{t+1} above a negative. Negatives come from pipeline-sampled negative
+    series when present (``neg_<series>`` input columns — the reference
+    prepares neg_hist_seq data-side the same way, 5.DIN/DataGenerator.py);
+    otherwise the next behaviors of the batch-rolled neighbor are used
+    (jittable in-batch fallback)."""
 
     gru_mode: str = "augru"  # 'augru' | 'agru' | 'aigru'
     aux_weight: float = 1.0
@@ -128,15 +131,28 @@ class DIEN(_SeqBase):
         # consume dien_output the same way (7.SIM/CustomLayers.py:155-157,425)
         out["trunk_features"] = x
         if train and self.aux_weight > 0:
+            neg_keys = self._neg_keys(emb, inputs)
             out["auxiliary_loss"] = self.aux_weight * self._aux_loss(
-                interests, keys, mask
+                interests, keys, mask, neg_keys
             )
         return out
 
-    def _aux_loss(self, interests, keys, mask):
+    def _neg_keys(self, emb, inputs):
+        """Embed pipeline-sampled negative behavior series (``neg_<series>``)
+        when the batch carries them; None → in-batch fallback."""
+        names = [f"neg_{n}" for n in self.sequence_features]
+        if not all(n in inputs for n in names):
+            return None
+        embs = [emb(inputs[n]) for n in names]
+        return jnp.concatenate(embs, axis=-1) if len(embs) > 1 else embs[0]
+
+    def _aux_loss(self, interests, keys, mask, neg_keys=None):
         h = interests[:, :-1].astype(jnp.float32)  # (B, L-1, D)
         pos = keys[:, 1:].astype(jnp.float32)
-        neg = jnp.roll(pos, 1, axis=0)  # other samples' behaviors as negatives
+        if neg_keys is not None:
+            neg = neg_keys[:, 1:].astype(jnp.float32)  # sampled negatives
+        else:
+            neg = jnp.roll(pos, 1, axis=0)  # batch-rolled fallback
         m = (mask[:, 1:] * mask[:, :-1]).astype(jnp.float32)
         pos_logit = jnp.sum(h * pos, axis=-1)
         neg_logit = jnp.sum(h * neg, axis=-1)

@@ -21,6 +21,7 @@ from tpurec.ops.attention import DinTargetAttention, MultiHeadAttention
 from tpurec.ops.hashing import (
     gather_steps,
     hamming_similarity,
+    lsh_attention,
     simhash_bits,
     topk_select,
 )
@@ -283,6 +284,11 @@ class ETA(_LongSeqBase):
     short_len: int = 8
     n_hash_bits: int = 16
     num_heads: int = 2
+    #: contextualize the long-term series with bucketed LSH self-attention
+    #: before retrieval (the reference's Reformer-style LSHAttention,
+    #: 7.SIM/CustomLayers.py:453-515 — demo-only there, an opt-in mode here)
+    lsh_self_attention: bool = False
+    lsh_self_bits: int = 4
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
@@ -291,6 +297,18 @@ class ETA(_LongSeqBase):
         query = self._query(emb, inputs)
         keys, mask = self._keys(emb, inputs)
         b, l, d = keys.shape
+        if self.lsh_self_attention:
+            self_proj = self.variable(
+                "constants",
+                "lsh_self_proj",
+                lambda: jax.random.normal(
+                    jax.random.key(11), (d, self.lsh_self_bits), jnp.float32
+                ),
+            ).value
+            ctx = lsh_attention(
+                keys.astype(jnp.float32), keys.astype(jnp.float32), self_proj, mask
+            ).astype(keys.dtype)
+            keys = keys + ctx * mask[..., None].astype(keys.dtype)  # residual
         proj = self.variable(
             "constants",
             "hash_proj",

@@ -298,7 +298,11 @@ class Trainer:
 
     @property
     def _id_features(self):
-        return list(self.info.feature_names) + list(self.info.sequence_names)
+        # every id-valued batch column, including the pipeline-sampled
+        # negative series (neg_<series>) the DIEN aux loss embeds — in sparse
+        # mode all of them must join the unique-row gather / position rewrite
+        seqs = list(self.info.sequence_names)
+        return list(self.info.feature_names) + seqs + [f"neg_{s}" for s in seqs]
 
     def _build_sparse_train_step(self) -> Callable:
         from tpurec.embedding.sparse import (
@@ -327,9 +331,12 @@ class Trainer:
 
             set_sparse_mode(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
-            id_shapes = [batch[n].shape for n in id_features]
+            # batch key structure is static per trace — keep only the id
+            # columns this dataset actually carries
+            present = [n for n in id_features if n in batch]
+            id_shapes = [batch[n].shape for n in present]
             ids_all = jnp.concatenate(
-                [batch[n].reshape(-1).astype(jnp.int32) for n in id_features]
+                [batch[n].reshape(-1).astype(jnp.int32) for n in present]
             )
             table_leaves = jax.tree.leaves(state.tables)
             pad_id = table_leaves[0].shape[0] - 1  # sacrificial row (pad_vocab)
@@ -339,7 +346,7 @@ class Trainer:
             # injected id-0 slot keeps padding_index==0 masks valid)
             batch = dict(batch)
             offset = 0
-            for name, shape in zip(id_features, id_shapes):
+            for name, shape in zip(present, id_shapes):
                 size = int(np.prod(shape))
                 batch[name] = positions[offset : offset + size].reshape(shape)
                 offset += size
