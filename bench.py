@@ -39,10 +39,15 @@ def _din_model():
         max_seq_length=seq_len,
         padding_index=0,
     )
+    import jax.numpy as jnp
+
     params = {
         "user_features": ["user_tag"],
         "item_features": ["item_id", "item_tag"],
         "sequence_features": ["history"],
+        # the Trainer's production default (TrainConfig.compute_dtype =
+        # bfloat16): dense compute in bf16, params/optimizer fp32
+        "dtype": jnp.bfloat16,
     }
     model = build_model(
         ModelConfig(name="din", params=params, embedding=EmbeddingConfig(dim=32)), info

@@ -114,7 +114,9 @@ def dssm_oracle(raw, encoder, pos, uniq, truth):
     return auc, hits / n
 
 
-def run_ranking(name, info, train, test, epochs, lr, batch=512, loss="bce", dim=16):
+def run_ranking(
+    name, info, train, test, epochs, lr, batch=512, loss="bce", dim=16, l2=0.0
+):
     from tpurec.config import (
         EmbeddingConfig,
         ExperimentConfig,
@@ -126,7 +128,7 @@ def run_ranking(name, info, train, test, epochs, lr, batch=512, loss="bce", dim=
     from tpurec.train import Trainer
 
     cfg = ExperimentConfig(
-        model=ModelConfig(name=name, embedding=EmbeddingConfig(dim=dim)),
+        model=ModelConfig(name=name, embedding=EmbeddingConfig(dim=dim, used_id_l2=l2)),
         train=TrainConfig(
             batch_size=batch,
             epochs=epochs,
@@ -196,7 +198,8 @@ def bench_retrieval_recall(
     # negatives (6.MIND/CustomLayers.py:252-261)
     pos_train = {k: v[train["label"] > 0] for k, v in train.items()}
     state, trainer, rep = run_ranking(
-        name, info, pos_train, test, epochs, lr=0.002, loss="in_batch_softmax"
+        name, info, pos_train, test, epochs * 2, lr=0.003,
+        loss="in_batch_softmax", dim=32,
     )
     model = trainer.model
     variables = {"params": state.params, **state.model_state}
@@ -350,8 +353,13 @@ def main():
         test_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "test"))
         if "fm_weak" in models:
             # weak signals converge slowly (reference ran 30 epochs,
-            # 3.DCN/ModelManager.py:18) — double budget, early-stop bounds it
-            _, _, rep = run_ranking("fm", info_w, train_w, test_w, epochs * 2, lr=0.005)
+            # 3.DCN/ModelManager.py:18) — double budget, early-stop bounds it.
+            # l2 on used embedding rows matches the reference FM's
+            # embeddings_regularizer="l2" (keras default 0.01) — essential
+            # against uid/iid noise memorization in this regime
+            _, _, rep = run_ranking(
+                "fm", info_w, train_w, test_w, epochs * 2, lr=0.005, l2=0.01
+            )
             results["fm_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],
                 "target": 0.5879,
@@ -361,7 +369,7 @@ def main():
             }
         if "autoint_weak" in models:
             _, _, rep = run_ranking(
-                "autoint", info_w, train_w, test_w, epochs * 2, lr=0.002
+                "autoint", info_w, train_w, test_w, epochs * 2, lr=0.002, l2=0.001
             )
             results["autoint_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],
@@ -379,11 +387,21 @@ def main():
         info = ImpressionLogGenerator(os.path.join(mroot, "gen"), log).run_all()
         train = load_columnar(shard_paths(os.path.join(mroot, "gen"), "train"))
         test = load_columnar(shard_paths(os.path.join(mroot, "gen"), "test"))
-        _, _, rep = run_ranking("mmoe", info, train, test, epochs, lr=0.005, loss="multi_task")
+        # oracle ctr AUC on this data is ~0.977 — the target is reachable but
+        # tight; double the epoch budget (early stop bounds it)
+        _, _, rep = run_ranking(
+            "mmoe", info, train, test, epochs * 2, lr=0.005, loss="multi_task"
+        )
+        orc = np.load(os.path.join(mroot, "raw", "oracle.npz"))
         results["mmoe"] = {
             "ctr_auc": rep["best_eval"]["ctr_auc"],
             "cvr_auc": rep["best_eval"]["cvr_auc"],
             "target": {"ctr": 0.9767, "cvr": 0.9582},
+            # numeric Bayes ceilings from the planted scores (oracle.npz) —
+            # the reference numbers were measured on ITS production data, so
+            # the honest comparison is model-vs-this-data's-oracle
+            "oracle_ctr_auc": float(orc["oracle_ctr_auc"]),
+            "oracle_cvr_auc": float(orc["oracle_cvr_auc"]),
             "seconds": rep["train_seconds"],
         }
     if {"din", "mind", "comirec"} & set(models):

@@ -247,3 +247,80 @@ class TestRowwiseAdagrad:
         restored = trainer.restore(state)
         for a, b in zip(jax.tree.leaves(state.table_opt), jax.tree.leaves(restored.table_opt)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRowwiseAdam:
+    def test_math_vs_dense_reference(self):
+        """sparse_rowwise_adam == numpy row-wise Adam (bf16 m storage, fp32
+        per-row v) on touched rows; untouched rows/moments unchanged."""
+        from tpurec.embedding.sparse import init_sparse_row_adam, sparse_rowwise_adam
+
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))
+        grad_dense = np.zeros((32, 8), np.float32)
+        touched = np.array([2, 7, 30])
+        grad_dense[touched] = rng.normal(size=(3, 8))
+        lr, b1, b2, eps = 0.05, 0.9, 0.999, 1e-7
+        # numpy reference for step 1 (m starts at 0)
+        m = (1 - b1) * grad_dense
+        v = (1 - b2) * np.mean(grad_dense**2, axis=1)
+        m_hat = m / (1 - b1)
+        v_hat = v / (1 - b2)
+        expect = np.asarray(table) - lr * m_hat / (np.sqrt(v_hat)[:, None] + eps)
+        ids = jnp.asarray(np.repeat(touched, 2))
+        uniq = unique_fixed(ids, pad_id=31)
+        grad_rows = jnp.asarray(grad_dense)[uniq]
+        out, opt = sparse_rowwise_adam(
+            table, init_sparse_row_adam(table), uniq, grad_rows,
+            jnp.asarray(1), lr, b1, b2, eps,
+        )
+        # bf16 m storage costs ~3 decimal digits — tolerance reflects it
+        np.testing.assert_allclose(
+            np.asarray(out)[touched], expect[touched], rtol=2e-2, atol=2e-3
+        )
+        untouched = [i for i in range(31) if i not in touched]
+        np.testing.assert_array_equal(
+            np.asarray(out)[untouched], np.asarray(table)[untouched]
+        )
+        assert opt.m.dtype == jnp.bfloat16 and opt.v.ndim == 1
+
+    def test_trainer_converges_with_factored_memory(self):
+        """FM with embedding_optimizer='rowwise_adam': loss falls; optimizer
+        memory ≈ 0.5 table (bf16 m) + O(V) (v scalars)."""
+        cfg = ExperimentConfig(
+            model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=8)),
+            train=TrainConfig(
+                batch_size=128, compute_dtype="float32", sparse_embedding=True,
+                optimizer=OptimizerConfig(
+                    learning_rate=0.05, embedding_optimizer="rowwise_adam"
+                ),
+            ),
+        )
+        trainer = Trainer(cfg, INFO)
+        data = make_data()
+        state = trainer.init_state({k: v[:128] for k, v in data.items()})
+        mstate = trainer.metrics.init()
+        losses = []
+        for i in range(8):
+            b = {k: v[(i * 128) % 512 : (i * 128) % 512 + 128] for k, v in data.items()}
+            state, mstate, logs = trainer.train_step(
+                state, trainer.device_batch(b), mstate
+            )
+            losses.append(float(logs["loss"]))
+        assert np.mean(losses[-2:]) < np.mean(losses[:2])
+        table_bytes = sum(t.size * t.dtype.itemsize for t in jax.tree.leaves(state.tables))
+        opt_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(state.table_opt))
+        assert opt_bytes < table_bytes  # vs dense Adam's 2.0x
+        # the ratio approaches 0.5 + 1/D for the real (V, D) embedding table;
+        # FM's (V, 1) order-1 table dilutes the aggregate, so check per-table
+        from tpurec.embedding.sparse import SparseRowAdamState
+
+        opts = jax.tree_util.tree_leaves(
+            state.table_opt,
+            is_leaf=lambda x: isinstance(x, SparseRowAdamState),
+        )
+        for t, o in zip(jax.tree.leaves(state.tables), opts):
+            if t.shape[-1] >= 8:
+                ob = o.m.size * o.m.dtype.itemsize + o.v.size * o.v.dtype.itemsize
+                tb = t.size * t.dtype.itemsize
+                assert ob < 0.7 * tb

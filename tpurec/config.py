@@ -101,7 +101,9 @@ class OptimizerConfig(_Base):
     grad_clip_norm: float = 0.0  # 0 = off
     # sparse-embedding-mode table optimizer: 'adam' (dense-Adam-parity math,
     # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
-    # row, O(V) optimizer memory - the production-embedding trade)
+    # row, O(V) optimizer memory - the production-embedding trade) |
+    # 'rowwise_adam' (bf16 momentum + one fp32 second-moment scalar per row,
+    # ~0.53x of one table's memory vs Adam's 2x, Adam-style adaptivity)
     embedding_optimizer: str = "adam"
 
 

@@ -158,12 +158,16 @@ def make_dcn_raw(
 
     users = rng.integers(0, n_users, n_events)
     items = rng.integers(0, n_items, n_events)
-    # categorical part: biases + tag mains + one weak cross
+    # categorical part: tag mains dominate (low-cardinality, learnable at
+    # this data volume), per-id biases and the cross stay minor — with only
+    # ~20 events per uid an id-heavy mix would put most of the oracle out of
+    # ANY model's reach and parity against the reference numbers would be
+    # unmeasurable
     s_cat = (
-        0.45 * (b_user[users] + b_item[items])
-        + 0.35 * sum(m[t[users]] for m, t in zip(m_ut, utags))
+        0.24 * (b_user[users] + b_item[items])
+        + 0.55 * sum(m[t[users]] for m, t in zip(m_ut, utags))
         / np.sqrt(len(utag_dims))
-        + 0.35 * sum(m[t[items]] for m, t in zip(m_it, itags))
+        + 0.55 * sum(m[t[items]] for m, t in zip(m_it, itags))
         / np.sqrt(len(itag_dims))
         + 0.4 * cross[utags[0][users], itags[0][items]]
     )
@@ -270,6 +274,23 @@ def make_impression_log_raw(
         )
     else:
         cvr = ((rng.random(n_events) < _sigmoid(-0.5 + s_cvr)) & (ctr == 1)).astype(int)
+    # numeric Bayes-oracle dump (VERDICT r1: oracle claims must be computed
+    # in the harness, not asserted): ctr oracle scores with the true s_ctr;
+    # the cvr label over ALL impressions is Bernoulli(p_click·p_conv) so its
+    # oracle predictor is that product
+    p_click = _sigmoid(-1.0 + s_ctr)
+    p_conv = _sigmoid(-0.5 + s_cvr)
+    if full_chain:
+        np.savez(
+            os.path.join(output_dir, "oracle.npz"),
+            oracle_ctr_auc=_score_auc(s_ctr, ctr),
+        )
+    else:
+        np.savez(
+            os.path.join(output_dir, "oracle.npz"),
+            oracle_ctr_auc=_score_auc(s_ctr, ctr),
+            oracle_cvr_auc=_score_auc(p_click * p_conv, cvr.astype(np.int64)),
+        )
     path = os.path.join(output_dir, "impression_log.jsonl")
     with open(path, "w") as f:
         for k in range(n_events):

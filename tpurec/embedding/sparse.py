@@ -132,6 +132,55 @@ def sparse_rowwise_adagrad(
     )
 
 
+class SparseRowAdamState(NamedTuple):
+    """Memory-factored Adam for embedding tables: the first moment is stored
+    in bfloat16 (halved HBM) and the second moment is ONE fp32 scalar per row
+    (the row-wise Adam used by production embedding systems — every element
+    of a row shares an adaptive scale, momentum is kept per element).
+    Optimizer memory: 0.5·V·D + V floats vs dense Adam's 2·V·D."""
+
+    m: jnp.ndarray  # (V, D) first moment, bfloat16
+    v: jnp.ndarray  # (V,)  per-row mean-squared-gradient EMA, fp32
+
+
+def init_sparse_row_adam(table: jnp.ndarray) -> SparseRowAdamState:
+    return SparseRowAdamState(
+        jnp.zeros(table.shape, jnp.bfloat16),
+        jnp.zeros((table.shape[0],), jnp.float32),
+    )
+
+
+def sparse_rowwise_adam(
+    table: jnp.ndarray,
+    opt: SparseRowAdamState,
+    uniq: jnp.ndarray,  # (U,) sorted unique ids (with pad duplicates)
+    grad_rows: jnp.ndarray,  # (U, ...) gradient for those rows
+    step: jnp.ndarray,  # scalar int (1-based for bias correction)
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+) -> Tuple[jnp.ndarray, SparseRowAdamState]:
+    """Row-wise Adam on the touched rows: lazy (untouched rows' moments do
+    not decay), bias-corrected like Adam, second moment reduced over the
+    row's trailing dims. O(U·D) traffic with a bf16 m-gather."""
+    g32 = grad_rows.astype(jnp.float32)
+    reduce_axes = tuple(range(1, g32.ndim))
+    m_rows = jnp.take(opt.m, uniq, axis=0).astype(jnp.float32)
+    v_rows = jnp.take(opt.v, uniq, axis=0)
+    m_new = b1 * m_rows + (1 - b1) * g32
+    v_new = b2 * v_rows + (1 - b2) * jnp.mean(jnp.square(g32), axis=reduce_axes)
+    t = step.astype(jnp.float32)
+    m_hat = m_new / (1 - b1**t)
+    v_hat = (v_new / (1 - b2**t)).reshape((-1,) + (1,) * (g32.ndim - 1))
+    delta = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+    rows = jnp.take(table, uniq, axis=0) - delta.astype(table.dtype)
+    return table.at[uniq].set(rows), SparseRowAdamState(
+        opt.m.at[uniq].set(m_new.astype(jnp.bfloat16)),
+        opt.v.at[uniq].set(v_new),
+    )
+
+
 def sparse_adam(
     table: jnp.ndarray,
     opt: SparseAdamState,

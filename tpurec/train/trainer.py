@@ -258,13 +258,17 @@ class Trainer:
         model_state.pop("regularization", None)
         tables = table_opt = None
         if self.config.train.sparse_embedding:
-            from tpurec.embedding.sparse import init_sparse_adagrad, init_sparse_adam
-
-            init_opt = (
-                init_sparse_adagrad
-                if self.config.train.optimizer.embedding_optimizer == "rowwise_adagrad"
-                else init_sparse_adam
+            from tpurec.embedding.sparse import (
+                init_sparse_adagrad,
+                init_sparse_adam,
+                init_sparse_row_adam,
             )
+
+            init_opt = {
+                "rowwise_adagrad": init_sparse_adagrad,
+                "rowwise_adam": init_sparse_row_adam,
+                "adam": init_sparse_adam,
+            }[self.config.train.optimizer.embedding_optimizer]
             tables = model_state.pop("tables")
             table_opt = jax.tree.map(init_opt, tables)
         opt_state = self.tx.init(params)
@@ -308,8 +312,10 @@ class Trainer:
         from tpurec.embedding.sparse import (
             SparseAdagradState,
             SparseAdamState,
+            SparseRowAdamState,
             sparse_adam,
             sparse_rowwise_adagrad,
+            sparse_rowwise_adam,
             unique_with_positions,
         )
 
@@ -385,12 +391,18 @@ class Trainer:
             flat_grads = jax.tree.leaves(grad_rows)
             flat_opt = jax.tree_util.tree_flatten(
                 state.table_opt,
-                is_leaf=lambda x: isinstance(x, (SparseAdamState, SparseAdagradState)),
+                is_leaf=lambda x: isinstance(
+                    x, (SparseAdamState, SparseAdagradState, SparseRowAdamState)
+                ),
             )[0]
             new_tables, new_opts = [], []
             for t, g, o in zip(flat_tables, flat_grads, flat_opt):
                 if isinstance(o, SparseAdagradState):
                     nt, no = sparse_rowwise_adagrad(t, o, uniq, g, oc.learning_rate)
+                elif isinstance(o, SparseRowAdamState):
+                    nt, no = sparse_rowwise_adam(
+                        t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
+                    )
                 else:
                     nt, no = sparse_adam(
                         t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
