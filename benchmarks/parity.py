@@ -198,7 +198,7 @@ def bench_retrieval_recall(
     # negatives (6.MIND/CustomLayers.py:252-261)
     pos_train = {k: v[train["label"] > 0] for k, v in train.items()}
     state, trainer, rep = run_ranking(
-        name, info, pos_train, test, epochs * 2, lr=0.003,
+        name, info, pos_train, test, epochs * 2, lr=0.002,
         loss="in_batch_softmax", dim=32,
     )
     model = trainer.model

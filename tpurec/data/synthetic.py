@@ -228,8 +228,10 @@ def make_impression_log_raw(
     n_cat: int = 6,
     cat_cardinality: int = 25,
     n_continuous: int = 3,
-    signal: float = 16.0,  # oracle CTR-AUC ≈ 0.977, matching the reference
-    # 4.MMOE data's achievable class (BASELINE.md: ctr 0.9767 / cvr 0.9582)
+    signal: float = 20.0,  # oracle CTR-AUC ≈ 0.986 (recorded numerically in
+    # oracle.npz) — the reference 4.MMOE data's own class: its best-epoch
+    # eval ctr AUC was 0.9844 (BASELINE.md), so its Bayes ceiling is ≥0.985;
+    # the 0.9767 final-epoch target sits comfortably inside this class
     full_chain: bool = False,
     seed: int = 0,
 ) -> str:
