@@ -1,0 +1,121 @@
+"""Fused embedding gather / scatter-Adam kernel parity (interpret mode on the
+CPU mesh; the real-TPU path is exercised by bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurec.ops.pallas.embedding_update import (
+    fused_scatter_adam,
+    gather_rows_sorted,
+    make_scatter_plan,
+    pick_block_rows,
+    scatter_adam_reference,
+    scatter_adam_sorted,
+    unpermute_rows,
+)
+
+
+def _case(v, d, n, seed=0, dup_heavy=False):
+    rng = np.random.default_rng(seed)
+    if dup_heavy:  # sequence-padding-like skew: 40% of ids are id 0
+        ids = np.where(
+            rng.random(n) < 0.4, 0, rng.integers(0, v, size=n)
+        ).astype(np.int64)
+    else:
+        ids = rng.integers(0, v, size=n).astype(np.int64)
+    grads = rng.normal(size=(n, d)).astype(np.float32)
+    table = rng.normal(size=(v, d)).astype(np.float32) * 0.05
+    m = rng.normal(size=(v, d)).astype(np.float32) * 0.01
+    vv = np.abs(rng.normal(size=(v, d))).astype(np.float32) * 0.01
+    return (
+        jnp.asarray(table),
+        jnp.asarray(m),
+        jnp.asarray(vv),
+        jnp.asarray(ids),
+        jnp.asarray(grads),
+    )
+
+
+@pytest.mark.parametrize(
+    "v,d,n,dup",
+    [
+        (1000, 32, 4096, False),
+        (1000, 32, 4096, True),  # heavy duplicates (padding id skew)
+        (333, 8, 900, False),  # V not a multiple of block_rows
+        (2048, 1, 3000, False),  # (V, 1) w-table shape
+    ],
+)
+def test_scatter_adam_parity(v, d, n, dup):
+    table, m, vv, ids, grads = _case(v, d, n, dup_heavy=dup)
+    step = jnp.int32(3)
+    want = scatter_adam_reference(table, m, vv, ids, grads, step, 1e-2)
+    got = fused_scatter_adam(
+        table, m, vv, ids, grads, step, 1e-2, chunk=256, interpret=True
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), rtol=2e-5, atol=2e-6)
+
+
+def test_scatter_adam_multi_chunk_tile():
+    # force several grad chunks in one tile: all ids land in rows [0, 64)
+    rng = np.random.default_rng(1)
+    v, d, n = 256, 16, 2000
+    ids = jnp.asarray(rng.integers(0, 64, size=n))
+    grads = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    table = jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+    m = jnp.zeros((v, d), jnp.float32)
+    vv = jnp.zeros((v, d), jnp.float32)
+    want = scatter_adam_reference(table, m, vv, ids, grads, jnp.int32(1), 1e-3)
+    got = fused_scatter_adam(
+        table, m, vv, ids, grads, jnp.int32(1), 1e-3, chunk=128, interpret=True
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(w), np.asarray(g), rtol=2e-5, atol=2e-6)
+
+
+def test_matches_optax_dense_adam():
+    import optax
+
+    table, m, vv, ids, grads = _case(500, 8, 1200, seed=4)
+    lr, b1, b2, eps = 3e-3, 0.9, 0.999, 1e-7
+    tx = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+    opt_state = tx.init(table)
+    dense_g = jnp.zeros_like(table).at[ids].add(grads)
+    upd, _ = tx.update(dense_g, opt_state, table)
+    want = optax.apply_updates(table, upd)
+    got, _, _ = fused_scatter_adam(
+        table, m * 0, vv * 0, ids, grads, jnp.int32(1), lr, b1, b2, eps,
+        chunk=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), rtol=2e-5, atol=2e-6)
+
+
+def test_gather_rows_sorted_and_unpermute():
+    table, _, _, ids, _ = _case(700, 16, 3000, seed=2)
+    plan = make_scatter_plan(ids, 700, pick_block_rows(16, chunk=256), 256)
+    rows_sorted = gather_rows_sorted(table, plan, interpret=True)
+    want_sorted = jnp.take(table, plan.sids[: plan.n], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(rows_sorted), np.asarray(want_sorted), rtol=1e-6
+    )
+    rows = unpermute_rows(rows_sorted, plan)
+    want = jnp.take(table, ids.reshape(-1), axis=0)
+    np.testing.assert_allclose(np.asarray(rows), np.asarray(want), rtol=1e-6)
+
+
+def test_unpermute_vjp_is_gather():
+    # d(unpermute)/d(rows_sorted) must equal the permutation transpose
+    table, _, _, ids, _ = _case(300, 4, 512, seed=3)
+    plan = make_scatter_plan(ids, 300, 128, 128)
+    rows_sorted = jnp.take(table, plan.sids[: plan.n], axis=0)
+
+    def f(rs):
+        return jnp.sum(unpermute_rows(rs, plan) ** 2)
+
+    got = jax.grad(f)(rows_sorted)
+    want = jax.grad(lambda rs: jnp.sum(jnp.take(rs, jnp.argsort(plan.order), axis=0) ** 2))(
+        rows_sorted
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)

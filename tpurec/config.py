@@ -99,6 +99,14 @@ class OptimizerConfig(_Base):
     eps: float = 1e-7  # keras Adam default epsilon (reference parity)
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0  # 0 = off
+    # full-table COUPLED L2 on embedding-table params: adds
+    # ``embedding_l2 * w`` to the gradient before the optimizer (the exact
+    # semantics of Keras ``embeddings_regularizer="l2"`` with coefficient c,
+    # which the reference FM uses, 2.FM/CustomLayers.py:129-134 — Keras l2(c)
+    # ⇔ embedding_l2 = 2c). Unlike used_id_l2 this shrinks RARE ids hardest
+    # (decay applies every step, data gradients rarely), which is the right
+    # prior for noisy high-cardinality features in the weak-signal regime.
+    embedding_l2: float = 0.0
     # sparse-embedding-mode table optimizer: 'adam' (dense-Adam-parity math,
     # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
     # row, O(V) optimizer memory - the production-embedding trade) |

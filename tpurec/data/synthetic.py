@@ -210,6 +210,14 @@ def make_dcn_raw(
             row += [f"{item_v[i]:.6f}", str(labels[k])]
             f.write(",".join(row) + "\n")
     oracle_path = os.path.join(output_dir, "oracle.npz")
+    # component ceilings (diagnostics for parity tuning): how much of the
+    # cat-only oracle is carried by the low-cardinality tags+cross vs the
+    # noisy per-id biases a model must estimate from ~20 events/id
+    s_tags = (
+        0.55 * sum(m[t[users]] for m, t in zip(m_ut, utags)) / np.sqrt(len(utag_dims))
+        + 0.55 * sum(m[t[items]] for m, t in zip(m_it, itags)) / np.sqrt(len(itag_dims))
+        + 0.4 * cross[utags[0][users], itags[0][items]]
+    )
     np.savez(
         oracle_path,
         event_scores=score,
@@ -218,6 +226,7 @@ def make_dcn_raw(
         base=base,
         oracle_auc=_score_auc(score, labels),
         cat_only_auc=_score_auc(s_cat, labels),
+        tags_only_auc=_score_auc(s_tags, labels),
     )
     return {"main_path": main_path, "oracle_path": oracle_path}
 

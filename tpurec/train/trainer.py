@@ -126,6 +126,19 @@ class Trainer:
         chain = []
         if oc.grad_clip_norm > 0:
             chain.append(optax.clip_by_global_norm(oc.grad_clip_norm))
+        if oc.embedding_l2 > 0:
+            # coupled full-table L2 on embedding tables (Keras
+            # embeddings_regularizer="l2" semantics — the reference FM's
+            # regularization, 2.FM/CustomLayers.py:129-134): grad += λ·w for
+            # every param named 'embedding*', applied BEFORE the optimizer.
+            def _emb_mask(params):
+                def lab(path, _):
+                    last = str(getattr(path[-1], "key", path[-1]))
+                    return last.startswith("embedding")
+
+                return jax.tree_util.tree_map_with_path(lab, params)
+
+            chain.append(optax.add_decayed_weights(oc.embedding_l2, mask=_emb_mask))
         if oc.name == "adam":
             chain.append(optax.adam(oc.learning_rate, b1=oc.b1, b2=oc.b2, eps=oc.eps))
         elif oc.name == "adamw":
