@@ -119,3 +119,116 @@ def test_unpermute_vjp_is_gather():
         rows_sorted
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# trainer integration: fused_adam ≡ dense Adam training, step for step
+from tpurec.config import (
+    EmbeddingConfig,
+    ExperimentConfig,
+    ModelConfig,
+    OptimizerConfig,
+    TrainConfig,
+)
+from tpurec.data.schema import DataInfo
+from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
+from tpurec.train import Trainer
+
+INFO = DataInfo.from_dims(["ua", "ub", "ia", "ib"], [11, 7, 13, 5])
+
+
+@pytest.fixture(autouse=True)
+def _reset_flags():
+    yield
+    set_sparse_mode(False)
+    set_sparse_layout("unique")
+
+
+def _data(n=512, seed=0):
+    rng = np.random.default_rng(seed)
+    d = {
+        name: rng.integers(off, off + dim, size=(n,))
+        for name, off, dim in zip(
+            INFO.feature_names, INFO.feature_offsets, INFO.feature_dims
+        )
+    }
+    d["label"] = rng.integers(0, 2, n).astype(np.float32)
+    return d
+
+
+def _trainer(model="fm", sparse=False, emb_opt="adam", used_l2=0.0):
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            name=model, embedding=EmbeddingConfig(dim=8, used_id_l2=used_l2)
+        ),
+        train=TrainConfig(
+            batch_size=128,
+            loss="bce",
+            log_every_steps=0,
+            compute_dtype="float32",
+            sparse_embedding=sparse,
+            optimizer=OptimizerConfig(
+                learning_rate=1e-2, embedding_optimizer=emb_opt
+            ),
+        ),
+    )
+    return Trainer(cfg, INFO)
+
+
+@pytest.mark.parametrize("model,used_l2", [("fm", 0.0), ("deepfm", 0.0), ("fm", 0.01)])
+def test_fused_adam_matches_dense_training(model, used_l2):
+    batch = _data(128)
+    dense = _trainer(model, sparse=False, used_l2=used_l2)
+    fused = _trainer(model, sparse=True, emb_opt="fused_adam", used_l2=used_l2)
+    ds = dense.init_state(batch)
+    fs = fused.init_state(batch)
+    db = dense.device_batch(batch)
+    dm, fm_ = dense.metrics.init(), fused.metrics.init()
+    for i in range(4):
+        b = _data(128, seed=i)
+        db = dense.device_batch(b)
+        ds, dm, dlogs = dense.train_step(ds, db, dm)
+        fs, fm_, flogs = fused.train_step(fs, fused.device_batch(b), fm_)
+        np.testing.assert_allclose(
+            float(dlogs["loss"]), float(flogs["loss"]), rtol=2e-5, atol=1e-6
+        )
+    # every embedding table must track the dense run exactly
+    np.testing.assert_allclose(
+        np.asarray(ds.params["v"]["embedding"] if model == "fm" else ds.params["v"]["embedding"]),
+        np.asarray(fs.tables["v"]["embedding"]),
+        rtol=2e-4, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds.params["w"]["w"]["embedding"]),
+        np.asarray(fs.tables["w"]["w"]["embedding"]),
+        rtol=2e-4, atol=2e-6,
+    )
+    # dense params (bias / MLP) must match too
+    np.testing.assert_allclose(
+        float(ds.params["bias"]), float(fs.params["bias"]), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_fused_adam_rejects_sequences():
+    info = DataInfo.from_dims(
+        ["u", "i"], [10, 20], sequence_names=["hist"], max_seq_length=8,
+        padding_index=0,
+    )
+    cfg = ExperimentConfig(
+        model=ModelConfig(
+            name="din",
+            params={
+                "user_features": ["u"],
+                "item_features": ["i"],
+                "sequence_features": ["hist"],
+            },
+            embedding=EmbeddingConfig(dim=8),
+        ),
+        train=TrainConfig(
+            batch_size=16, loss="bce", sparse_embedding=True,
+            optimizer=OptimizerConfig(embedding_optimizer="fused_adam"),
+        ),
+    )
+    tr = Trainer(cfg, info)
+    with pytest.raises(ValueError, match="tabular"):
+        _ = tr.train_step

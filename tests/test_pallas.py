@@ -129,6 +129,31 @@ class TestDinKernel:
         for x, y in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
 
+    def test_gradients_with_alpha_multi_tile(self):
+        # fused bwd kernel (din_attention_bwd_fused): PReLU slopes, both
+        # cotangents, a batch that spans several grid tiles + padding
+        args = self._data(b=70, l=12, d=8, h=16)
+        rng = np.random.default_rng(7)
+        alpha = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.3)
+
+        def loss_fused(q, k, w1, b1, w2, al):
+            p, s = din_attention_fused(
+                q, k, args[2], w1, b1, w2, al, block_b=32, interpret=True
+            )
+            return jnp.sum(jnp.tanh(p)) + jnp.sum(s * s)
+
+        def loss_ref(q, k, w1, b1, w2, al):
+            p, s = din_attention_reference(q, k, args[2], w1, b1, w2, al)
+            return jnp.sum(jnp.tanh(p)) + jnp.sum(s * s)
+
+        inputs = (args[0], args[1], args[3], args[4], args[5], alpha)
+        g1 = jax.grad(loss_fused, argnums=tuple(range(6)))(*inputs)
+        g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(*inputs)
+        for x, y in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-3, atol=2e-5
+            )
+
 
 class TestSenetBilinearKernel:
     def _data(self, b=16, f=6, d=8, r=2, seed=5):

@@ -19,7 +19,12 @@ from flax import linen as nn
 from jax.sharding import Mesh
 
 from tpurec.core.mesh import MODEL_AXIS
-from tpurec.embedding.ops import pad_vocab, row_sharded_lookup, used_id_l2
+from tpurec.embedding.ops import (
+    contiguous_take,
+    pad_vocab,
+    row_sharded_lookup,
+    used_id_l2,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -32,6 +37,13 @@ from tpurec.embedding.ops import pad_vocab, row_sharded_lookup, used_id_l2
 # resolves ids against the gathered rows so no table-shaped gradient ever
 # exists. Outside sparse mode nothing changes.
 _SPARSE_MODE = False
+# row layout of the trainer-provided 'sparse_rows' collection:
+#   'unique' — rows are the batch's sorted unique ids; batch columns were
+#              rewritten to slots (duplicates share one slot)
+#   'direct' — one row per id OCCURRENCE in trainer concat order; batch
+#              columns were rewritten to identity arange slices, so lookups
+#              use contiguous_take (scatter-free backward)
+_SPARSE_LAYOUT = "unique"
 
 
 def set_sparse_mode(enabled: bool) -> None:
@@ -41,6 +53,16 @@ def set_sparse_mode(enabled: bool) -> None:
 
 def sparse_mode_enabled() -> bool:
     return _SPARSE_MODE
+
+
+def set_sparse_layout(layout: str) -> None:
+    assert layout in ("unique", "direct"), layout
+    global _SPARSE_LAYOUT
+    _SPARSE_LAYOUT = layout
+
+
+def sparse_layout() -> str:
+    return _SPARSE_LAYOUT
 
 
 def uniform_init(scale: float):
@@ -94,6 +116,14 @@ class SharedEmbedding(nn.Module):
                 rows = self.get_variable(
                     "sparse_rows", "embedding" + self.name_suffix
                 )
+                if sparse_layout() == "direct":
+                    # identity-position layout: scatter-free backward; the
+                    # trainer computes used-id L2 itself (needs the global
+                    # first-occurrence mask)
+                    out = contiguous_take(jnp.asarray(rows), ids)
+                    if self.dtype is not None:
+                        out = out.astype(self.dtype)
+                    return out
                 out = jnp.take(rows, ids, axis=0)
                 if self.is_mutable_collection("regularization"):
                     # used-id L2 over the gathered rows (grads flow to rows)
@@ -191,7 +221,10 @@ class FieldAwareEmbedding(nn.Module):
             )
             if self.has_variable("sparse_rows", "embedding"):
                 rows = self.get_variable("sparse_rows", "embedding")
-                out = jnp.take(rows, ids, axis=0)
+                if sparse_layout() == "direct":
+                    out = contiguous_take(jnp.asarray(rows), ids)
+                else:
+                    out = jnp.take(rows, ids, axis=0)
             else:  # eval / serving
                 out = jnp.take(table_var.value, ids, axis=0)
             if self.dtype is not None:

@@ -357,6 +357,150 @@ def din_attention_fused(
     return pooled[:b], scores[:b]
 
 
+def _din_bwd_kernel(
+    q_ref, k_ref, m_ref, w1_ref, b1_ref, w2_ref, alpha_ref, gp_ref, gs_ref,
+    dq_ref, dk_ref, dw1_ref, db1_ref, dw2_ref, dalpha_ref,
+):
+    """Fused DIN attention backward: recompute-in-VMEM of the activation-unit
+    MLP (no (B, L, H) residual ever touches HBM), all grads in one pass.
+    BENCH r2 measured the unfused XLA VJP at 75% of the DIN train step —
+    this kernel is that fix (VERDICT r2 next-step #3)."""
+    f32 = jnp.float32
+    q = q_ref[:].astype(f32)  # (Bt, D)
+    keys = k_ref[:].astype(f32)  # (Bt, L, D)
+    mask = m_ref[:].astype(f32)  # (Bt, L)
+    w1 = w1_ref[:].astype(f32)  # (4D, H)
+    b1 = b1_ref[:].astype(f32)  # (1, H)
+    w2 = w2_ref[:].astype(f32)  # (H, 1)
+    alpha = alpha_ref[:].astype(f32)  # (1, H)
+    gp = gp_ref[:].astype(f32)  # (Bt, D)
+    gs = gs_ref[:].astype(f32)  # (Bt, L)
+    bt, l, d = keys.shape
+    # ---- recompute forward intermediates (same decomposition as _din_kernel)
+    w_q = w1[0:d] + w1[d : 2 * d]
+    w_k = w1[2 * d : 3 * d] - w1[d : 2 * d]
+    w_p = w1[3 * d : 4 * d]
+    k2 = keys.reshape(bt * l, d)
+    qk = (q[:, None, :] * keys).reshape(bt * l, d)
+    hq = jnp.dot(q, w_q, preferred_element_type=f32)  # (Bt, H)
+    lin = (
+        jnp.dot(k2, w_k, preferred_element_type=f32)
+        + jnp.dot(qk, w_p, preferred_element_type=f32)
+        + jnp.broadcast_to(hq[:, None, :], (bt, l, hq.shape[-1])).reshape(bt * l, -1)
+        + b1
+    )  # (BtL, H)
+    neg_part = jnp.minimum(lin, 0.0)
+    hval = jnp.maximum(lin, 0.0) + alpha * neg_part
+    s = jnp.dot(hval, w2, preferred_element_type=f32).reshape(bt, l) * mask
+    # ---- backward
+    # ds from pooling: pooled = sum_l s * keys
+    gs_tot = (gs + jnp.sum(gp[:, None, :] * keys, axis=-1)) * mask  # (Bt, L)
+    gs_flat = gs_tot.reshape(bt * l, 1)
+    dh = gs_flat * w2.reshape(1, -1)  # (BtL, H)
+    dlin = dh * (jnp.where(lin > 0, 1.0, 0.0) + alpha * jnp.where(lin < 0, 1.0, 0.0))
+    # parameter-grad contributions of this batch tile
+    dw2_c = jax.lax.dot_general(
+        hval, gs_flat, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (H, 1)
+    dalpha_c = jnp.sum(dh * neg_part, axis=0, keepdims=True)  # (1, H)
+    db1_c = jnp.sum(dlin, axis=0, keepdims=True)  # (1, H)
+    dlin_b = jnp.sum(dlin.reshape(bt, l, -1), axis=1)  # (Bt, H)
+    a_c = jax.lax.dot_general(
+        q, dlin_b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (D, H) — sum_b q^T (sum_l dlin)
+    k_c = jax.lax.dot_general(
+        k2, dlin, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (D, H)
+    p_c = jax.lax.dot_general(
+        qk, dlin, (((0,), (0,)), ((), ())), preferred_element_type=f32
+    )  # (D, H)
+    # input grads
+    dqp = jnp.dot(dlin, w_p.T, preferred_element_type=f32).reshape(bt, l, d)
+    dq_ref[:] = jnp.dot(dlin_b, w_q.T, preferred_element_type=f32) + jnp.sum(
+        dqp * keys, axis=1
+    )
+    dk_ref[:] = (
+        jnp.dot(dlin, w_k.T, preferred_element_type=f32).reshape(bt, l, d)
+        + dqp * q[:, None, :]
+        + s[:, :, None] * gp[:, None, :]
+    )
+    # accumulate param grads across the sequential batch-tile grid
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[0:d] = a_c
+        dw1_ref[d : 2 * d] = a_c - k_c
+        dw1_ref[2 * d : 3 * d] = k_c
+        dw1_ref[3 * d : 4 * d] = p_c
+        db1_ref[:] = db1_c
+        dw2_ref[:] = dw2_c
+        dalpha_ref[:] = dalpha_c
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dw1_ref[0:d] += a_c
+        dw1_ref[d : 2 * d] += a_c - k_c
+        dw1_ref[2 * d : 3 * d] += k_c
+        dw1_ref[3 * d : 4 * d] += p_c
+        db1_ref[:] += db1_c
+        dw2_ref[:] += dw2_c
+        dalpha_ref[:] += dalpha_c
+
+
+def din_attention_bwd_fused(
+    query, keys, mask, w1, b1, w2, alpha, gp, gs,
+    block_b: int = 64, interpret: bool = False,
+):
+    """Pallas DIN-attention backward. Returns (dq, dkeys, dw1, db1, dw2,
+    dalpha) in fp32; mask gets no gradient."""
+    b, l, d = keys.shape
+    h = w1.shape[1]
+    bb = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, bb)
+    if b_pad != b:
+        query = jnp.pad(query, ((0, b_pad - b), (0, 0)))
+        keys = jnp.pad(keys, ((0, b_pad - b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad - b), (0, 0)))
+        gp = jnp.pad(gp, ((0, b_pad - b), (0, 0)))
+        gs = jnp.pad(gs, ((0, b_pad - b), (0, 0)))
+    zero2 = lambda i: (0, 0)  # noqa: E731
+    dq, dk, dw1, db1, dw2, dalpha = pl.pallas_call(
+        _din_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((4 * d, h), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
+        ),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * d, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * d, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        query, keys, mask, w1, b1.reshape(1, -1), w2.reshape(-1, 1),
+        alpha.reshape(1, -1), gp, gs,
+    )
+    return dq[:b], dk[:b], dw1, db1.reshape(-1), dw2.reshape(-1), dalpha.reshape(-1)
+
+
 def _din_fwd(query, keys, mask, w1, b1, w2, alpha, block_b, interpret):
     out = din_attention_fused(query, keys, mask, w1, b1, w2, alpha, block_b, interpret)
     return out, (query, keys, mask, w1, b1, w2, alpha)
@@ -367,20 +511,25 @@ def _din_bwd(block_b, interpret, res, g):
     had_alpha = alpha is not None
     if alpha is None:
         alpha = jnp.zeros((w1.shape[1],), jnp.float32)
-    _, vjp = jax.vjp(
-        lambda q, k, m, a, bb_, c, al: din_attention_reference(q, k, m, a, bb_, c, al),
+    gp, gs = (x.astype(jnp.float32) for x in g)
+    dq, dk, dw1, db1, dw2, dalpha = din_attention_bwd_fused(
         query.astype(jnp.float32),
         keys.astype(jnp.float32),
-        mask,
+        mask.astype(jnp.float32),
         w1.astype(jnp.float32),
         b1.astype(jnp.float32),
         w2.astype(jnp.float32),
         alpha.astype(jnp.float32),
+        gp,
+        gs,
+        block_b=min(block_b, 64),
+        interpret=interpret,
     )
-    grads = list(vjp(tuple(x.astype(jnp.float32) for x in g)))
-    if not had_alpha:
-        grads[6] = None
-    return tuple(grads)
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        dmask = jnp.zeros_like(mask)  # mask enters via a bool cast — no grad
+    else:
+        dmask = np.zeros(mask.shape, jax.dtypes.float0)
+    return dq, dk, dmask, dw1, db1, dw2, (dalpha if had_alpha else None)
 
 
 din_attention_fused.defvjp(_din_fwd, _din_bwd)

@@ -281,6 +281,9 @@ class Trainer:
                 "rowwise_adagrad": init_sparse_adagrad,
                 "rowwise_adam": init_sparse_row_adam,
                 "adam": init_sparse_adam,
+                # fused_adam: dense-parity moments, updated by the Pallas
+                # tile-stream kernel (same state shape as 'adam')
+                "fused_adam": init_sparse_adam,
             }[self.config.train.optimizer.embedding_optimizer]
             tables = model_state.pop("tables")
             table_opt = jax.tree.map(init_opt, tables)
@@ -346,9 +349,10 @@ class Trainer:
             # set the module-level sparse flag at TRACE time, inside the
             # traced body — retraces (e.g. after sharding changes) then
             # always see the right mode regardless of global state
-            from tpurec.embedding.modules import set_sparse_mode
+            from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
 
             set_sparse_mode(True)
+            set_sparse_layout("unique")
             step_rng = jax.random.fold_in(state.rng, state.step)
             # batch key structure is static per trace — keep only the id
             # columns this dataset actually carries
@@ -440,6 +444,183 @@ class Trainer:
 
         return train_step
 
+    def _build_fused_train_step(self) -> Callable:
+        """Sparse mode with embedding_optimizer='fused_adam': identity-layout
+        rows + the Pallas tile-stream gather / scatter-Adam kernels
+        (tpurec.ops.pallas.embedding_update). Numerically identical to DENSE
+        Adam training (every row's moments decay — unlike the lazy sparse
+        optimizers) while never materializing a table-shaped gradient and
+        never touching XLA's latency-bound gather/scatter row loops.
+
+        Restrictions (falls back is NOT automatic — config error instead):
+        tabular datasets only (no behavior sequences: identity positions
+        would break padding-index masks) and an unsharded model axis."""
+        from tpurec.embedding.sparse import SparseAdamState
+        from tpurec.ops.pallas.embedding_update import (
+            _unpermute,
+            gather_rows_sorted,
+            make_scatter_plan,
+            pick_block_rows,
+            scatter_adam_sorted,
+            unpermute_rows,
+        )
+
+        if self.info.sequence_names:
+            raise ValueError(
+                "embedding_optimizer='fused_adam' supports tabular datasets "
+                "only (sequence padding masks need the 'unique' layout); use "
+                "'adam'/'rowwise_adam' instead"
+            )
+        if self.mesh_ctx.mesh.shape.get("model", 1) > 1:
+            raise ValueError(
+                "embedding_optimizer='fused_adam' requires model axis == 1 "
+                "(row-sharded fused updates are not wired yet)"
+            )
+        model = self.model
+        tx = self.tx
+        loss_fn = self.loss_fn
+        metrics = self.metrics
+        oc = self.config.train.optimizer
+        l2_coeff = self.config.model.embedding.used_id_l2
+        id_features = list(self.info.feature_names)
+        mutable = ["batch_stats"]
+        interpret = jax.default_backend() != "tpu"
+        chunk = 512
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, metric_state):
+            from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
+
+            set_sparse_mode(True)
+            set_sparse_layout("direct")
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            present = [n for n in id_features if n in batch]
+            shapes = [batch[n].shape for n in present]
+            ids_all = jnp.concatenate(
+                [batch[n].reshape(-1).astype(jnp.int32) for n in present]
+            )
+            n_ids = ids_all.shape[0]
+            flat_tables, treedef = jax.tree_util.tree_flatten(state.tables)
+            v_rows = flat_tables[0].shape[0]
+            assert all(t.shape[0] == v_rows for t in flat_tables), (
+                "fused_adam expects one shared id space across tables"
+            )
+            d_flats = [int(np.prod(t.shape[1:])) for t in flat_tables]
+            block_rows = min(pick_block_rows(d, chunk=chunk) for d in d_flats)
+            plan = make_scatter_plan(ids_all, v_rows, block_rows, chunk)
+            # fused tile-stream gather (sorted) -> original order
+            rows_leaves = []
+            for t in flat_tables:
+                rs = gather_rows_sorted(
+                    t.reshape(t.shape[0], -1), plan, interpret=interpret
+                )
+                rows_leaves.append(
+                    unpermute_rows(rs, plan).reshape((n_ids,) + t.shape[1:])
+                )
+            rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
+            if l2_coeff > 0:
+                # first-occurrence mask in ORIGINAL order: used-id L2 counts
+                # each unique id once (reference 5.DIN/ModelManager.py:175-190)
+                first_sorted = jnp.concatenate(
+                    [
+                        jnp.ones((1,), jnp.float32),
+                        (plan.sids[1 : plan.n] != plan.sids[: plan.n - 1]).astype(
+                            jnp.float32
+                        ),
+                    ]
+                )
+                first_orig = _unpermute(first_sorted[:, None], plan.order)[:, 0]
+            # rewrite batch id columns to identity positions (static aranges)
+            batch = dict(batch)
+            offset = 0
+            for name, shape in zip(present, shapes):
+                size = int(np.prod(shape))
+                batch[name] = jnp.arange(offset, offset + size, dtype=jnp.int32).reshape(
+                    shape
+                )
+                offset += size
+
+            def compute_loss(params, rows):
+                variables = {
+                    "params": params,
+                    "tables": state.tables,
+                    "sparse_rows": rows,
+                    **state.model_state,
+                }
+                outputs, mut = model.apply(
+                    variables, batch, train=True, mutable=mutable,
+                    rngs={"dropout": step_rng, "sampling": jax.random.fold_in(step_rng, 1)},
+                )
+                loss, logs = loss_fn(outputs, batch)
+                loss, aux_logs = add_auxiliary(loss, outputs)
+                logs.update(aux_logs)
+                if l2_coeff > 0:
+                    reg = sum(
+                        0.5
+                        * jnp.sum(
+                            first_orig
+                            * jnp.sum(
+                                jnp.square(r.reshape(n_ids, -1).astype(jnp.float32)),
+                                axis=-1,
+                            )
+                        )
+                        for r in jax.tree.leaves(rows)
+                    )
+                    loss = loss + l2_coeff * reg
+                    logs["used_id_l2"] = reg
+                return loss, (outputs, dict(mut), logs)
+
+            (loss, (outputs, new_model_state, logs)), (grads, grad_rows) = (
+                jax.value_and_grad(compute_loss, argnums=(0, 1), has_aux=True)(
+                    state.params, rows
+                )
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            flat_grads = jax.tree.leaves(grad_rows)
+            flat_opt = jax.tree_util.tree_flatten(
+                state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
+            )[0]
+            new_tables, new_opts = [], []
+            for t, g, o in zip(flat_tables, flat_grads, flat_opt):
+                d = int(np.prod(t.shape[1:]))
+                gs = jnp.take(g.reshape(n_ids, d), plan.order, axis=0)
+                nt, nm, nv = scatter_adam_sorted(
+                    t.reshape(-1, d),
+                    o.m.reshape(-1, d),
+                    o.v.reshape(-1, d),
+                    plan,
+                    gs,
+                    new_step,
+                    oc.learning_rate,
+                    oc.b1,
+                    oc.b2,
+                    oc.eps,
+                    interpret=interpret,
+                )
+                new_tables.append(nt.reshape(t.shape))
+                new_opts.append(
+                    SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
+                )
+            tables = jax.tree_util.tree_unflatten(treedef, new_tables)
+            table_opt = jax.tree_util.tree_unflatten(treedef, new_opts)
+            new_state = TrainState(
+                step=new_step,
+                params=params,
+                opt_state=opt_state,
+                model_state={**state.model_state, **new_model_state},
+                rng=state.rng,
+                tables=tables,
+                table_opt=table_opt,
+            )
+            metric_state = metrics.update(
+                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+            )
+            return new_state, metric_state, logs | {"loss": loss}
+
+        return train_step
+
     def _build_train_step(self) -> Callable:
         model = self.model
         tx = self.tx
@@ -507,9 +688,10 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, batch, metric_state):
-            from tpurec.embedding.modules import set_sparse_mode
+            from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
 
             set_sparse_mode(sparse)
+            set_sparse_layout("unique")
             variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
             loss, _ = loss_fn(outputs, batch)
@@ -525,11 +707,12 @@ class Trainer:
     @property
     def train_step(self):
         if self._train_step is None:
-            self._train_step = (
-                self._build_sparse_train_step()
-                if self.config.train.sparse_embedding
-                else self._build_train_step()
-            )
+            if not self.config.train.sparse_embedding:
+                self._train_step = self._build_train_step()
+            elif self.config.train.optimizer.embedding_optimizer == "fused_adam":
+                self._train_step = self._build_fused_train_step()
+            else:
+                self._train_step = self._build_sparse_train_step()
         return self._train_step
 
     @property
