@@ -23,8 +23,14 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> dict:
     """Initialize multi-host jax (no-op on a single host). Returns the
-    process topology for the input pipeline."""
-    already = jax.process_count() > 1
+    process topology for the input pipeline.
+
+    Must run before ANY backend-initializing jax call (jax.devices, ...) —
+    so the already-initialized probe inspects the distributed client state
+    directly instead of calling jax.process_count()."""
+    from jax._src import distributed as _dist
+
+    already = getattr(_dist.global_state, "client", None) is not None
     if not already and (coordinator_address or num_processes):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

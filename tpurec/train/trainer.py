@@ -301,8 +301,21 @@ class Trainer:
     def device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         """Host → device with the batch dim sharded over 'data' (replicated
         fallback when the batch doesn't divide the data axis, e.g. tiny
-        ad-hoc inference batches)."""
+        ad-hoc inference batches).
+
+        Multi-process: ``batch`` is this host's shard of rows
+        (``ArrayLoader(**host_loader_kwargs())``); the global array is
+        assembled from every process's local rows without any host-side
+        gather (jax.make_array_from_process_local_data)."""
         n = len(next(iter(batch.values())))
+        if jax.process_count() > 1:
+            sharding = self.mesh_ctx.batch
+            return {
+                k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)
+                )
+                for k, v in batch.items()
+            }
         sharding = (
             self.mesh_ctx.batch if n % self.mesh_ctx.n_data == 0 else self.mesh_ctx.replicated
         )
