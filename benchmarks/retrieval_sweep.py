@@ -1,0 +1,81 @@
+"""MIND / ComiRec recall tuning sweep (VERDICT r3 item #2).
+
+Targets (85% of the numeric Bayes oracle on the same corpus):
+    recall@20  >= 0.045   (oracle 0.0535)
+    recall@100 >= 0.18    (oracle 0.212)
+
+Sweeps the reference 'auto'-mode axes: sampled-negative count
+(6.MIND/CustomLayers.py:853-863), interests K, label-aware attention power,
+lr / dim / epochs. Writes benchmarks/retrieval_sweep.json incrementally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "retrieval_sweep.json")
+
+
+def main():
+    from benchmarks.parity import bench_retrieval_recall
+    from tpurec.data.generators import SequenceDataGenerator
+    from tpurec.data.loader import load_columnar, shard_paths
+    from tpurec.data.synthetic import make_behavior_sequence_raw
+
+    root = tempfile.mkdtemp(prefix="retr_")
+    raw = make_behavior_sequence_raw(
+        os.path.join(root, "raw"), n_users=3000, n_items=1500,
+        n_events=300_000, max_history=30,
+    )
+    info = SequenceDataGenerator(
+        os.path.join(root, "gen"), raw["events_path"], max_seq_length=30
+    ).run_all()
+    train = load_columnar(shard_paths(os.path.join(root, "gen"), "train"))
+    test = load_columnar(shard_paths(os.path.join(root, "gen"), "test"))
+    gen_dir = os.path.join(root, "gen")
+
+    results = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                results = json.load(f)
+        except Exception:
+            pass
+
+    configs = [
+        # (name, key-suffix, model_params, lr, dim, epochs)
+        ("mind", "neg128", {"num_sampled_negatives": 128}, 0.002, 32, 12),
+        ("mind", "neg512", {"num_sampled_negatives": 512}, 0.002, 32, 12),
+        ("mind", "neg128_k8", {"num_sampled_negatives": 128, "num_interests": 8}, 0.002, 32, 12),
+        ("mind", "neg128_p1", {"num_sampled_negatives": 128, "attention_power": 1.0}, 0.002, 32, 12),
+        ("comirec", "neg128", {"num_sampled_negatives": 128}, 0.002, 32, 12),
+        ("comirec", "neg512", {"num_sampled_negatives": 512}, 0.002, 32, 12),
+        ("comirec", "neg128_k8", {"num_sampled_negatives": 128, "num_interests": 8}, 0.002, 32, 12),
+        ("comirec", "inbatch_long", {}, 0.002, 32, 12),  # r2 recipe, 2x epochs
+    ]
+    for name, suffix, mp, lr, dim, epochs in configs:
+        key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}"
+        if key in results:
+            print(f"skip {key}", flush=True)
+            continue
+        print(f"running {key}", flush=True)
+        entry = bench_retrieval_recall(
+            name, info, train, test, raw, gen_dir, epochs,
+            model_params=mp, lr=lr, dim=dim,
+        )
+        results[key] = entry
+        print(json.dumps({key: entry}), flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

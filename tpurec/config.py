@@ -99,6 +99,11 @@ class OptimizerConfig(_Base):
     eps: float = 1e-7  # keras Adam default epsilon (reference parity)
     weight_decay: float = 0.0
     grad_clip_norm: float = 0.0  # 0 = off
+    # learning-rate schedule: '' = constant; 'cosine' decays to
+    # learning_rate*schedule_alpha over schedule_steps optimizer steps
+    lr_schedule: str = ""
+    schedule_steps: int = 0
+    schedule_alpha: float = 0.0
     # full-table COUPLED L2 on embedding-table params: adds
     # ``embedding_l2 * w`` to the gradient before the optimizer (the exact
     # semantics of Keras ``embeddings_regularizer="l2"`` with coefficient c,

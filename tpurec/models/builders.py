@@ -223,6 +223,21 @@ def _retrieval_params(params: dict, info: DataInfo) -> dict:
         out.setdefault("query_features", list(info.sequence_query_features))
     out.setdefault("vocab_size", info.total_dims)
     out.setdefault("padding_index", info.padding_index)
+    # per-feature sampling ranges for sampled-softmax negatives: a negative
+    # candidate's j-th id must come from the j-th query feature's offset
+    # range in the shared id space (mind._RetrievalBase._sampled_logits)
+    if "query_feature_ranges" not in out:
+        span = dict(
+            zip(info.feature_names, zip(info.feature_offsets, info.feature_dims))
+        )
+        ranges = []
+        for q in out.get("query_features", ("item_id",)):
+            if q in span:
+                off, dim = span[q]
+                ranges.append((int(off), int(off) + int(dim)))
+            else:
+                ranges.append((1, info.total_dims))
+        out["query_feature_ranges"] = tuple(ranges)
     return out
 
 

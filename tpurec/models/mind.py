@@ -37,6 +37,16 @@ class _RetrievalBase(nn.Module):
     vocab_size: int = 0
     embed_dim: int = 16
     padding_index: int = 0
+    # >0: sampled-softmax training — logits over [positive ∥ N uniformly
+    # sampled negative items] (the reference's tf.nn.sampled_softmax_loss
+    # over the id table, 6.MIND/CustomLayers.py:853-863); emits 'logits' with
+    # the first-column-positive convention of losses.in_batch_softmax.
+    # Negatives are sampled PER QUERY FEATURE within that feature's offset
+    # range (query_feature_ranges, wired from DataInfo by the builder) so a
+    # sampled candidate is a valid (item_id, item_tag, ...) combination in
+    # the shared id space.
+    num_sampled_negatives: int = 0
+    query_feature_ranges: Sequence[Any] = ()
     dtype: Optional[Any] = None
     mesh: Optional[Mesh] = None
 
@@ -61,6 +71,29 @@ class _RetrievalBase(nn.Module):
             return None
         e = emb(stack_ids(inputs, list(self.user_features)))
         return e.reshape(e.shape[0], -1)
+
+    def _sampled_logits(self, emb, user_vec: jnp.ndarray, target: jnp.ndarray):
+        """[pos ∥ N sampled-negative] inner-product logits (see
+        num_sampled_negatives)."""
+        b = user_vec.shape[0]
+        n = self.num_sampled_negatives
+        f = len(self.query_features)
+        ranges = list(self.query_feature_ranges) or [(1, self.vocab_size)] * f
+        rng = self.make_rng("sampling")
+        cols = []
+        for j, (lo, hi) in enumerate(ranges):
+            lo = int(lo)
+            if lo <= self.padding_index < int(hi):
+                lo = self.padding_index + 1  # never sample the padding id
+            cols.append(
+                jax.random.randint(jax.random.fold_in(rng, j), (b, n), lo, int(hi))
+            )
+        neg_ids = jnp.stack(cols, axis=-1)  # (B, N, F)
+        neg_emb = emb(neg_ids).reshape(b, n, -1)
+        u = user_vec.astype(jnp.float32)
+        pos = jnp.einsum("bd,bd->b", u, target.astype(jnp.float32))[:, None]
+        negs = jnp.einsum("bd,bnd->bn", u, neg_emb.astype(jnp.float32))
+        return jnp.concatenate([pos, negs], axis=-1)
 
 
 class MIND(_RetrievalBase):
@@ -93,7 +126,7 @@ class MIND(_RetrievalBase):
         user_vec = LabelAwareAttention(self.attention_power, name="label_att")(
             capsules, cap_mask, target
         )
-        return {
+        out: Outputs = {
             "user_embedding": user_vec,
             "item_embedding": target,
             "interest_capsules": capsules,
@@ -102,6 +135,9 @@ class MIND(_RetrievalBase):
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
+        if train and self.num_sampled_negatives > 0:
+            out["logits"] = self._sampled_logits(emb, user_vec, target)
+        return out
 
 
 def _attn_pool(user_q: jnp.ndarray, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
@@ -187,13 +223,16 @@ class SDM(_RetrievalBase):
         )
         user_vec = (1.0 - gate) * p_t + gate * s_t
         target = self._target(emb, inputs)
-        return {
+        out: Outputs = {
             "user_embedding": user_vec,
             "item_embedding": target,
             "output": jnp.sum(
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
+        if train and self.num_sampled_negatives > 0:
+            out["logits"] = self._sampled_logits(emb, user_vec, target)
+        return out
 
 
 class ComiRec(_RetrievalBase):
@@ -207,11 +246,6 @@ class ComiRec(_RetrievalBase):
     num_interests: int = 4
     attention_dim: int = 32
     max_seq_length: int = 0
-    # >0: 'auto' training mode — sampled softmax over [positive ∥ N sampled
-    # negative item ids] (reference tf.nn.sampled_softmax_loss over the id
-    # table, 6.MIND/CustomLayers.py:853-863); emits 'logits' with the
-    # first-column-positive convention consumed by losses.in_batch_softmax
-    num_sampled_negatives: int = 0
 
     @nn.compact
     def __call__(self, inputs: Inputs, train: bool = False) -> Outputs:
@@ -248,24 +282,7 @@ class ComiRec(_RetrievalBase):
             "output": jnp.max(scores, axis=-1),
         }
         if train and self.num_sampled_negatives > 0:
-            # uniform negatives over the id table, one id per query feature
-            # (the reference samples rows of the full id-embedding table via
-            # tf.nn.sampled_softmax_loss, 6.MIND/CustomLayers.py:853-863)
-            f = len(self.query_features)
-            neg_ids = jax.random.randint(
-                self.make_rng("sampling"),
-                (b, self.num_sampled_negatives, f),
-                1,  # skip the padding id
-                self.vocab_size,
-            )
-            neg_emb = emb(neg_ids).reshape(b, self.num_sampled_negatives, -1)  # (B, N, F·D)
-            pos_logit = jnp.einsum(
-                "bd,bd->b", user_vec.astype(jnp.float32), target.astype(jnp.float32)
-            )[:, None]
-            neg_logits = jnp.einsum(
-                "bd,bnd->bn", user_vec.astype(jnp.float32), neg_emb.astype(jnp.float32)
-            )
-            out["logits"] = jnp.concatenate([pos_logit, neg_logits], axis=-1)
+            out["logits"] = self._sampled_logits(emb, user_vec, target)
         return out
 
 
@@ -368,4 +385,6 @@ class SINE(_RetrievalBase):
             cov = (p.T @ p) / self.pool_size
             off_diag = cov - jnp.diag(jnp.diag(cov))
             out["auxiliary_loss"] = self.cov_weight * 0.5 * jnp.sum(jnp.square(off_diag))
+        if train and self.num_sampled_negatives > 0:
+            out["logits"] = self._sampled_logits(emb, user_vec, target)
         return out

@@ -139,17 +139,24 @@ class Trainer:
                 return jax.tree_util.tree_map_with_path(lab, params)
 
             chain.append(optax.add_decayed_weights(oc.embedding_l2, mask=_emb_mask))
+        lr = oc.learning_rate
+        if oc.lr_schedule == "cosine" and oc.schedule_steps > 0:
+            lr = optax.cosine_decay_schedule(
+                oc.learning_rate, oc.schedule_steps, alpha=oc.schedule_alpha
+            )
+        elif oc.lr_schedule:
+            raise KeyError(f"unknown lr_schedule {oc.lr_schedule!r}")
         if oc.name == "adam":
-            chain.append(optax.adam(oc.learning_rate, b1=oc.b1, b2=oc.b2, eps=oc.eps))
+            chain.append(optax.adam(lr, b1=oc.b1, b2=oc.b2, eps=oc.eps))
         elif oc.name == "adamw":
             chain.append(
                 optax.adamw(
-                    oc.learning_rate, b1=oc.b1, b2=oc.b2, eps=oc.eps,
+                    lr, b1=oc.b1, b2=oc.b2, eps=oc.eps,
                     weight_decay=oc.weight_decay,
                 )
             )
         elif oc.name == "sgd":
-            chain.append(optax.sgd(oc.learning_rate))
+            chain.append(optax.sgd(lr))
         else:
             raise KeyError(f"unknown optimizer {oc.name!r}")
         tx = optax.chain(*chain)
