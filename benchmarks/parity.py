@@ -298,7 +298,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small data / few epochs")
     ap.add_argument(
         "--models",
-        default="fm,deepfm,dssm,fm_weak,autoint_weak,mmoe,din,mind,comirec",
+        default="fm,deepfm,dssm,fm_weak,autoint_weak,mmoe,din,dien,eta,mind,comirec",
     )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "parity_results.json"))
     args = ap.parse_args()
@@ -420,7 +420,7 @@ def main():
             "oracle_cvr_auc": float(orc["oracle_cvr_auc"]),
             "seconds": rep["train_seconds"],
         }
-    if {"din", "mind", "comirec"} & set(models):
+    if {"din", "dien", "eta", "mind", "comirec"} & set(models):
         from tpurec.data.generators import SequenceDataGenerator
         from tpurec.data.loader import load_columnar, shard_paths
         from tpurec.data.synthetic import make_behavior_sequence_raw
@@ -439,6 +439,35 @@ def main():
                     name, info, train, test, raw, os.path.join(sroot, "gen"),
                     epochs,
                 )
+    if "dien" in models:
+        # DIEN with the pipeline-sampled negative series feeding the aux loss
+        # (reference get_auxiliary_loss, 5.DIN/CustomLayers.py:434-453) vs
+        # aux disabled — demonstrating the aux loss BUYS AUC on the same data
+        _, _, rep_aux = run_ranking("dien", info, train, test, epochs * 2, lr=0.01)
+        _, _, rep_no = run_ranking(
+            "dien", info, train, test, epochs * 2, lr=0.01,
+            model_params={"aux_weight": 0.0},
+        )
+        results["dien"] = {
+            "eval_auc": rep_aux["best_eval"]["auc"],
+            "eval_auc_no_aux": rep_no["best_eval"]["auc"],
+            "target": 0.8265,  # must match/beat DIN's r2 number on this data
+            "observable_ceiling_auc": 0.856,
+            "seconds": rep_aux["train_seconds"] + rep_no["train_seconds"],
+        }
+    if "eta" in models:
+        # long-sequence ranking family entry: ETA's SimHash top-k retrieval +
+        # GSU/ESU 0.2/0.8 loss (reference 7.SIM protocol) on the same
+        # behavior-sequence data and oracle ceilings as DIN
+        _, _, rep = run_ranking(
+            "eta", info, train, test, epochs * 2, lr=0.005, loss="gsu_esu"
+        )
+        results["eta"] = {
+            "eval_auc": rep["best_eval"]["auc"],
+            "target": 0.80,  # oracle-relative: >=93.5% of the 0.856 ceiling
+            "observable_ceiling_auc": 0.856,
+            "seconds": rep["train_seconds"],
+        }
     if "din" in models:
         _, _, rep = run_ranking("din", info, train, test, epochs * 2, lr=0.01)
         results["din"] = {
