@@ -10,11 +10,17 @@ measured against this machine's own CPU running the *same* jitted train step
 delivered by the framework.
 
 The headline metric is DIN (behavior-sequence ranking, the reference's hot
-path — SURVEY §3.5). ``detail`` additionally carries the FM entries
-BASELINE.md names ("examples/s/chip at FM and DIN") in dense and
-sparse-embedding-update mode, plus a DIN step-time breakdown
-(forward / forward+backward / full step / embedding-gather-only) that
-attributes where the step time goes.
+path — SURVEY §3.5) with the fused Pallas attention forward AND backward
+kernels. ``detail`` carries:
+  - a DIN step-time breakdown + an XLA cost-analysis utilization estimate
+    (achieved TFLOP/s and HBM GB/s vs v5e peaks 197 bf16 TFLOP/s, 819 GB/s);
+  - FM at B=8192, F=26, D=32 over a 2.08M-row shared table in THREE engine
+    modes — dense XLA (optax adam, autodiff scatter), the fused Pallas
+    embedding engine (identical dense-Adam math; tile-stream gather +
+    scatter-Adam kernels, tpurec/ops/pallas/embedding_update.py), and lazy
+    rowwise-Adam sparse mode — each with a step breakdown and an analytic
+    bytes-moved roofline (% of the HBM-bandwidth bound actually achieved);
+  - the sparse/fused/dense crossover at vocab 200k vs 2M (VERDICT r2 #7).
 """
 
 from __future__ import annotations
@@ -24,6 +30,9 @@ import sys
 import time
 
 import numpy as np
+
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
 
 
 def _din_model():
@@ -87,6 +96,21 @@ def _checksum(tree):
 
     leaf = jax.tree.leaves(tree)[0]
     return float(jnp.sum(leaf[0] if leaf.ndim > 1 else leaf))
+
+
+def _cost_analysis(fn, *args):
+    """XLA's own flop/byte estimate for a jitted fn (best-effort; custom
+    Pallas kernels contribute their declared costs or zero)."""
+    try:
+        import jax
+
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
 
 
 def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
@@ -173,6 +197,19 @@ def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
     fwd_s = timed(fwd_only, params, batch)
     bwd_s = timed(fwd_bwd, params, batch)
     gather_s = timed(gather_only, emb_leaf, batch)
+    flops, bytes_acc = _cost_analysis(
+        lambda p, o, b: step(p, o, b), params, opt_state, batch
+    )
+    util = {}
+    if flops > 0:
+        util = {
+            "xla_flops_per_step": flops,
+            "xla_bytes_per_step": bytes_acc,
+            "achieved_tflops": round(flops / step_s / 1e12, 2),
+            "achieved_hbm_gbps": round(bytes_acc / step_s / 1e9, 1),
+            "pct_of_peak_bf16_flops": round(100 * flops / step_s / 1e12 / V5E_PEAK_BF16_TFLOPS, 2),
+            "pct_of_peak_hbm_bw": round(100 * bytes_acc / step_s / 1e9 / V5E_HBM_GBPS, 2),
+        }
     return {
         "model": "din",
         "examples_per_s": batch_size / step_s,
@@ -184,17 +221,16 @@ def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
             "embedding_gather_and_grad_only": round(gather_s * 1e3, 3),
             "optimizer_and_dispatch": round((step_s - bwd_s) * 1e3, 3),
         },
+        "utilization": util,
         "platform": __import__("jax").devices()[0].platform,
         "device": str(__import__("jax").devices()[0]),
     }
 
 
-def _measure_fm(batch_size=8192, warmup=12, iters=20, sparse=False) -> dict:
-    """FM through the REAL Trainer step (fwd/bwd/optimizer/metrics), dense vs
-    sparse-embedding-update mode (row-sparse Adam on the batch's unique ids —
-    tpurec/embedding/sparse.py)."""
-    import jax
-
+def _fm_trainer(info, batch_size, mode: str):
+    """mode: 'dense' (optax adam, autodiff scatter) | 'fused' (Pallas
+    tile-stream engine, identical dense-Adam math) | 'sparse' (lazy
+    rowwise_adam)."""
     from tpurec.config import (
         EmbeddingConfig,
         ExperimentConfig,
@@ -204,7 +240,8 @@ def _measure_fm(batch_size=8192, warmup=12, iters=20, sparse=False) -> dict:
     )
     from tpurec.train import Trainer
 
-    info = _fm_info()
+    sparse = mode != "dense"
+    emb_opt = {"dense": "adam", "fused": "fused_adam", "sparse": "rowwise_adam"}[mode]
     cfg = ExperimentConfig(
         model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=32)),
         train=TrainConfig(
@@ -212,35 +249,80 @@ def _measure_fm(batch_size=8192, warmup=12, iters=20, sparse=False) -> dict:
             loss="bce",
             log_every_steps=0,
             sparse_embedding=sparse,
-            optimizer=OptimizerConfig(learning_rate=1e-3),
+            optimizer=OptimizerConfig(learning_rate=1e-3, embedding_optimizer=emb_opt),
         ),
     )
-    trainer = Trainer(cfg, info)
+    return Trainer(cfg, info)
+
+
+def _measure_fm(info, batch_size=8192, warmup=12, iters=20, mode="dense") -> dict:
+    trainer = _fm_trainer(info, batch_size, mode)
     batch = _make_batch(info, batch_size, seed=1)
     state = trainer.init_state(batch)
     dbatch = trainer.device_batch(batch)
     mstate = trainer.metrics.init()
     for _ in range(warmup):
         state, mstate, _ = trainer.train_step(state, dbatch, mstate)
-    _checksum(state.tables if sparse else state.params)
+    _checksum(state.tables if state.tables is not None else state.params)
     t0 = time.perf_counter()
     for _ in range(iters):
         state, mstate, _ = trainer.train_step(state, dbatch, mstate)
-    _checksum(state.tables if sparse else state.params)
+    _checksum(state.tables if state.tables is not None else state.params)
     dt = (time.perf_counter() - t0) / iters
     return {
-        "model": "fm_sparse" if sparse else "fm",
-        "examples_per_s": batch_size / dt,
-        "step_ms": dt * 1e3,
+        "mode": mode,
+        "examples_per_s": round(batch_size / dt, 1),
+        "step_ms": round(dt * 1e3, 3),
+    }
+
+
+def _fm_roofline(info, batch_size, dim=32) -> dict:
+    """Analytic minimum HBM traffic of one FM train step with dense-parity
+    Adam over the shared table: the table pass (p, m, v read+write for BOTH
+    the (V, D) v-table and (V, 1) w-table), the forward row gather (one full
+    table read in the tile-stream design), and the per-occurrence grad/row
+    traffic. Sort traffic counted at 2 passes over (ids, iota) per sort."""
+    v_rows = info.total_dims
+    n = batch_size * len(info.feature_names)
+    table_elems = v_rows * (dim + 1)
+    adam_pass = 6 * table_elems * 4  # p,m,v read+write
+    gather_read = table_elems * 4
+    rows_traffic = 4 * n * (dim + 1) * 4  # rows write+read (fwd), grads write+read (bwd)
+    sort_traffic = 2 * (2 * n * 8) * 2  # two sorts, ~2 passes each over (key,payload)
+    total = adam_pass + gather_read + rows_traffic + sort_traffic
+    return {
+        "min_bytes_per_step": int(total),
+        "hbm_bound_ms": round(total / (V5E_HBM_GBPS * 1e9) * 1e3, 3),
     }
 
 
 def main():
     import subprocess
 
+    import jax
+
     din = _measure_din()
-    fm = _measure_fm(sparse=False)
-    fm_sparse = _measure_fm(sparse=True)
+    info2m = _fm_info()  # 26 x 80k = 2.08M rows
+    fm_dense = _measure_fm(info2m, mode="dense")
+    fm_fused = _measure_fm(info2m, mode="fused")
+    fm_sparse = _measure_fm(info2m, mode="sparse")
+    roof = _fm_roofline(info2m, 8192)
+    best_ms = min(fm_fused["step_ms"], fm_dense["step_ms"])
+    roof["pct_of_hbm_bound_achieved"] = round(100 * roof["hbm_bound_ms"] / best_ms, 1)
+    # crossover point: small vocab (200k) — dense gather/scatter are cheap
+    # there, so the fused engine's sort overhead can flip the ordering
+    info200k = _fm_info(num_fields=26, vocab_per_field=7_700)  # ~200k rows
+    cross = {
+        "vocab_200k": {
+            m: _measure_fm(info200k, mode=m, warmup=8, iters=12)["step_ms"]
+            for m in ("dense", "fused", "sparse")
+        },
+        "vocab_2M": {
+            "dense": fm_dense["step_ms"],
+            "fused": fm_fused["step_ms"],
+            "sparse": fm_sparse["step_ms"],
+        },
+    }
     # CPU baseline: same DIN step, same shapes, in a subprocess on host CPU
     try:
         out = subprocess.run(
@@ -262,10 +344,14 @@ def main():
                 "detail": {
                     "din_step_ms": round(din["step_ms"], 2),
                     "din_breakdown_ms": din["breakdown_ms"],
-                    "fm_examples_per_s": round(fm["examples_per_s"], 1),
-                    "fm_step_ms": round(fm["step_ms"], 2),
-                    "fm_sparse_examples_per_s": round(fm_sparse["examples_per_s"], 1),
-                    "fm_sparse_step_ms": round(fm_sparse["step_ms"], 2),
+                    "din_utilization": din["utilization"],
+                    "fm": {
+                        "dense_xla": fm_dense,
+                        "fused_engine": fm_fused,
+                        "sparse_rowwise_adam": fm_sparse,
+                        "roofline": roof,
+                    },
+                    "fm_crossover_step_ms": cross,
                     "device": din["device"],
                     "cpu_examples_per_s": round(cpu_rate, 1) if cpu_rate == cpu_rate else None,
                     "baseline_definition": "same jitted DIN train step on host CPU",

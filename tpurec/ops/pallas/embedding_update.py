@@ -1,31 +1,49 @@
-"""Fused embedding gather / scatter-Adam Pallas kernels — the sparse-update
+"""Fused embedding gather / scatter-grad Pallas kernels — the sparse-update
 engine's hot path.
 
 Why: XLA's TPU gather runs at ~24M rows/s and scatter at ~7M rows/s
 (measured on v5e — both are latency-bound row loops), so a single FM train
 step at B=8192, F=26 spends 35+ ms in the embedding-table scatter-add alone
-(BENCH r2: 42 ms step of which ~3 ms is roofline-justified). These kernels
-replace random row access with a **tile-stream pass**: the table (and its
-Adam moments) stream through VMEM once in (R, D) tiles while each tile's
-slice of the *sorted* id/grad list is DMA'd in and applied with a one-hot
-MXU matmul — duplicates sum naturally, HBM traffic is the theoretical
-minimum (one read+write of table/moments + one read of grads), and no
-per-row DMA is ever issued.
+(BENCH r2: 42 ms step of which ~3 ms is roofline-justified).
 
-    scatter-Adam: p,m,v tiles + sorted grads -> dense-parity Adam update
-                  (every row decays, exactly optax.adam math)
-    gather:       table tiles + sorted ids   -> rows in sorted order
+Design (third iteration — the measured constraints that shaped it):
+  1. **Packed lanes.** A (V, D) table streams as its (V/k, 128) view with
+     k = 128/D ids per packed row: narrow (R, D) blocks move at ~65 GB/s
+     through the Pallas pipeline, full-lane (R, 128) blocks at ~340 GB/s.
+     An id maps to packed row ``id // k``, lane group ``id % k``; grads are
+     pre-packed into their lane group on the XLA side.
+  2. **Chunk-major grid, static bodies.** In-kernel dynamic-trip DMA loops
+     serialize the pipeline (measured 25-75 us/tile); instead the grid runs
+     over fixed 512-id chunks of the SORTED id/grad stream (statically
+     blocked inputs) while the table tile rides on a scalar-prefetch-driven
+     *index map* — the documented dynamic-indexing pattern that keeps
+     Pallas' automatic double-buffering.
+  3. **Two-pass boundary handling.** A sorted chunk touches at most the
+     tile holding its first id and the next one (wider straddles fall back
+     to the XLA path via lax.cond). Pass A routes every chunk to its first
+     tile, pass B to the next; each pass's output-block indices are
+     monotone, so Pallas' revisiting rule accumulates chunks of the same
+     tile in VMEM. Foreign ids self-mask through the one-hot row-range
+     compare; G = maskedA + maskedB (unvisited tiles carry garbage and are
+     masked by the per-tile visit flags).
+  4. **Adam stays in XLA.** The element-wise p/m/v update runs at ~480 GB/s
+     as a plain fused XLA loop — faster than a hand-rolled Pallas pass
+     (~340 GB/s) — so the kernel's job ends at the dense aggregated grad.
+     ``scatter_adam_*`` = G-build kernel + exact optax.adam math.
 
 The reference has no counterpart (single-device eager TF embeddings,
-2.FM/CustomLayers.py:103-106); this is TPU-native infrastructure per
-SURVEY §2.10. Pure-JAX references (`*_reference`) pin the math; interpret
-mode runs the kernels on CPU in CI.
+2.FM/CustomLayers.py:103-106); this is TPU-native infrastructure per SURVEY
+§2.10. Pure-JAX references (`*_reference`) pin the math; interpret mode runs
+the kernels on CPU in CI. One-hot matmuls run at default MXU precision:
+gathered rows / accumulated grads are bf16-rounded (~2^-8 relative) — the
+same class as the trainer's bf16 compute_dtype.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+import math
+from typing import List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,75 +57,64 @@ try:  # pallas imports fail on some non-TPU builds
 except Exception:  # pragma: no cover
     _PALLAS_IMPORTED = False
 
+LANES = 128
+CHUNK = 1024  # ids per grid step; multiple of 1024 (ids block sublane dim = CHUNK/128 must divide by 8)
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def pick_block_rows(d: int, vmem_budget: int = 8 * 1024 * 1024, chunk: int = 512) -> int:
-    """Largest power-of-two tile height R such that the kernel's VMEM
-    footprint (7 table-shaped tiles + the (R, chunk) one-hot + grad window)
-    stays under budget."""
-    r = 1024
-    while r > 64:
-        need = 7 * r * d * 4 + r * chunk * 4 + chunk * d * 4
-        if need <= vmem_budget:
-            return r
-        r //= 2
-    return 64
+def _pack_factor(d: int) -> Tuple[int, int]:
+    """(k, d_pad): ids per packed row; d_pad = smallest power of two >= d
+    (so k divides 128). d > 128 is handled via 128-lane column slabs."""
+    if d >= LANES:
+        return 1, LANES
+    d_pad = 1
+    while d_pad < d:
+        d_pad *= 2
+    return LANES // d_pad, d_pad
 
 
 class ScatterPlan(NamedTuple):
     """Sorted-id routing metadata, shared by every table of one id space."""
 
-    sids: jnp.ndarray  # (N + chunk,) int32 sorted ids, padded with sentinel
+    sids: jnp.ndarray  # (Npad,) int32 sorted ids, sentinel-padded; Npad % CHUNK == 0
     order: jnp.ndarray  # (N,) int32: ids[order] == sids[:N]
-    starts: jnp.ndarray  # (T + 1,) int32 tile boundaries into sids
     n: int  # true id count
     num_rows: int  # table row count V
-    block_rows: int  # R
-    chunk: int  # W
+    block_rows: int  # R: PACKED rows per table tile
+    chunk: int  # = CHUNK
 
 
 def make_scatter_plan(
-    ids: jnp.ndarray, num_rows: int, block_rows: int, chunk: int = 512
+    ids: jnp.ndarray, num_rows: int, block_rows: int = 4096, chunk: int = CHUNK
 ) -> ScatterPlan:
-    """One sort + one searchsorted; reused across all tables and by both the
-    gather and the scatter-Adam kernels in the same step."""
+    """One sort, reused across all tables of the id space and by both the
+    gather and the scatter kernels in the same step."""
+    assert chunk % LANES == 0
     flat = ids.reshape(-1).astype(jnp.int32)
     n = flat.shape[0]
-    t = _cdiv(num_rows, block_rows)
-    sentinel = jnp.int32(t * block_rows)
     iota = jax.lax.iota(jnp.int32, n)
     sids, order = jax.lax.sort((flat, iota), num_keys=1)
-    starts = jnp.searchsorted(
-        sids, (jnp.arange(t + 1, dtype=jnp.int32) * block_rows)
-    ).astype(jnp.int32)
-    sids = jnp.concatenate([sids, jnp.full((chunk,), sentinel, jnp.int32)])
-    return ScatterPlan(sids, order, starts, n, num_rows, block_rows, chunk)
+    npad = _cdiv(n, chunk) * chunk
+    sentinel = jnp.int32(num_rows)  # maps at/beyond the last packed row
+    sids = jnp.concatenate([sids, jnp.full((npad - n,), sentinel, jnp.int32)])
+    return ScatterPlan(sids, order, n, num_rows, block_rows, chunk)
 
 
 # ---------------------------------------------------------------------------
 # pure-JAX references (parity tests, non-TPU fallback)
-def scatter_adam_reference(
-    table: jnp.ndarray,
-    m: jnp.ndarray,
-    v: jnp.ndarray,
-    ids: jnp.ndarray,
-    grads: jnp.ndarray,
-    step: jnp.ndarray,
-    lr: float,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-7,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Dense-parity Adam: identical to materializing the dense scatter-add
-    gradient and applying ``optax.adam`` (every row's moments decay)."""
-    g = (
-        jnp.zeros_like(table)
+def scatter_add_reference(table_shape, ids, grads):
+    return (
+        jnp.zeros(table_shape, jnp.float32)
         .at[ids.reshape(-1)]
-        .add(grads.reshape(-1, table.shape[-1]).astype(table.dtype))
+        .add(grads.reshape(-1, table_shape[-1]).astype(jnp.float32))
     )
+
+
+def adam_update(table, m, v, g, step, lr, b1=0.9, b2=0.999, eps=1e-7):
+    """Exact optax.adam math (element-wise XLA; ~480 GB/s measured)."""
     m2 = b1 * m + (1.0 - b1) * g
     v2 = b2 * v + (1.0 - b2) * jnp.square(g)
     t = step.astype(jnp.float32)
@@ -116,213 +123,345 @@ def scatter_adam_reference(
     return table - lr * m_hat / (jnp.sqrt(v_hat) + eps), m2, v2
 
 
-# ---------------------------------------------------------------------------
-# scatter-Adam kernel
-def _scatter_adam_kernel(
-    lr, b1, b2, eps, block_rows, chunk,
-    starts_ref, step_ref,  # scalar prefetch (SMEM)
-    p_ref, m_ref, v_ref,  # (R, D) VMEM tiles (auto-pipelined)
-    sids_ref, gs_ref,  # HBM (manual DMA)
-    po_ref, mo_ref, vo_ref,  # (R, D) VMEM output tiles
-    acc_ref, idw_ref, gw_ref, sem,  # scratch
+def scatter_adam_reference(
+    table, m, v, ids, grads, step, lr, b1=0.9, b2=0.999, eps=1e-7
 ):
-    t = pl.program_id(0)
-    r0 = t * block_rows
-    start = starts_ref[t]
-    count = starts_ref[t + 1] - start
-    acc_ref[:] = jnp.zeros_like(acc_ref)
+    """Dense-parity Adam: identical to materializing the dense scatter-add
+    gradient and applying ``optax.adam`` (every row's moments decay)."""
+    g = scatter_add_reference(table.shape, ids, grads).astype(table.dtype)
+    return adam_update(table, m, v, g, step, lr, b1, b2, eps)
 
-    def body(c, carry):
-        off = start + c * chunk
-        cp_i = pltpu.make_async_copy(
-            sids_ref.at[:, pl.ds(off, chunk)], idw_ref, sem.at[0]
+
+# ---------------------------------------------------------------------------
+# packing helpers (XLA side)
+def _pack_table(x: jnp.ndarray, k: int, d_pad: int, rows128: int) -> jnp.ndarray:
+    """(V, D) -> (rows128, 128) packed view (pads D to d_pad, rows to
+    rows128; a pure reshape when D == d_pad and k | V)."""
+    v, d = x.shape
+    if d < d_pad:
+        x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    v_pad = rows128 * k
+    if v_pad != v:
+        x = jnp.pad(x, ((0, v_pad - v), (0, 0)))
+    return x.reshape(rows128, LANES)
+
+
+def _unpack_table(x128: jnp.ndarray, v: int, d: int, d_pad: int) -> jnp.ndarray:
+    return x128.reshape(-1, d_pad)[:v, :d]
+
+
+def _pack_grads(gs, sids, n, k, d_pad):
+    """(N, D) sorted grads -> (Npad, 128), each row's values in its id's
+    lane group (sids % k); padding rows zero."""
+    npad = sids.shape[0]
+    d = gs.shape[1]
+    gs = gs.astype(jnp.float32)
+    if d < d_pad:
+        gs = jnp.pad(gs, ((0, 0), (0, d_pad - d)))
+    if k > 1:
+        grp = jnp.mod(sids[:n], k)[:, None]
+        gs = jnp.concatenate([jnp.where(grp == q, gs, 0.0) for q in range(k)], axis=1)
+    if npad != n:
+        gs = jnp.pad(gs, ((0, npad - n), (0, 0)))
+    return gs
+
+
+def _unpack_rows(rows128, sids, n, k, d, d_pad):
+    """(Npad, 128) packed gathered rows -> (N, D)."""
+    if k == 1:
+        return rows128[:n, :d]
+    grp = jnp.mod(sids[:n], k)[:, None]
+    out = rows128[:n].reshape(n, k, d_pad)
+    return sum(jnp.where(grp == q, out[:, q, :], 0.0) for q in range(k))[:, :d]
+
+
+def _chunk_routing(plan: ScatterPlan, k: int, t_tiles: int):
+    """Per-chunk routing: the tile of each chunk's first id, pass-A/B block
+    init flags, per-tile visit masks, the all-chunks-span-<=2-tiles flag,
+    and per-chunk straddle flags (chunk touches its second tile)."""
+    r = plan.block_rows
+    first = plan.sids[:: plan.chunk]  # (C,) first id of each chunk
+    last = plan.sids[plan.chunk - 1 :: plan.chunk]  # (C,) last id
+    raw_tile = jax.lax.div(first, jnp.int32(k * r))
+    tile_a = jnp.clip(raw_tile, 0, t_tiles - 1).astype(jnp.int32)
+    tile_last = jax.lax.div(last, jnp.int32(k * r))
+    ok = jnp.all(tile_last - raw_tile <= 1)
+    straddle = (tile_last > raw_tile).astype(jnp.int32)
+    tile_b = jnp.clip(tile_a + 1, 0, t_tiles - 1)
+    prev_a = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_a[:-1]])
+    prev_b = jnp.concatenate([jnp.full((1,), -1, jnp.int32), tile_b[:-1]])
+    init_a = (tile_a != prev_a).astype(jnp.int32)
+    init_b = (tile_b != prev_b).astype(jnp.int32)
+    tiles = jnp.arange(t_tiles, dtype=jnp.int32)
+    visited_a = _sorted_membership(tiles, tile_a)
+    visited_b = _sorted_membership(tiles, tile_b)
+    return tile_a, tile_b, init_a, init_b, visited_a, visited_b, ok, straddle
+
+
+def _sorted_membership(queries: jnp.ndarray, sorted_vals: jnp.ndarray) -> jnp.ndarray:
+    pos = jnp.searchsorted(sorted_vals, queries)
+    pos = jnp.clip(pos, 0, sorted_vals.shape[0] - 1)
+    return jnp.take(sorted_vals, pos) == queries
+
+
+# ---------------------------------------------------------------------------
+# scatter (dense aggregated grad build): chunk-major grid, two passes
+def fused_scatter_add(
+    table_rows: int,
+    d: int,
+    plan: ScatterPlan,
+    grads_sorted: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Dense (V, D) aggregated gradient from sorted per-occurrence grads —
+    the Pallas replacement for XLA's 29 ms scatter-add. Falls back to the
+    XLA scatter when some chunk straddles more than two tiles (pathological
+    id sparsity)."""
+    if d > LANES:  # column slabs
+        return jnp.concatenate(
+            [
+                fused_scatter_add(
+                    table_rows, min(LANES, d - lo), plan,
+                    grads_sorted[:, lo : lo + LANES], interpret,
+                )
+                for lo in range(0, d, LANES)
+            ],
+            axis=1,
         )
-        cp_g = pltpu.make_async_copy(gs_ref.at[pl.ds(off, chunk), :], gw_ref, sem.at[1])
-        cp_i.start()
-        cp_g.start()
-        cp_i.wait()
-        cp_g.wait()
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        # rows outside [0, R) or beyond this tile's count never match the iota
-        local = jnp.where(j + c * chunk < count, idw_ref[:] - r0, -1)
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0) == local
-        ).astype(jnp.float32)
-        acc_ref[:] += jax.lax.dot_general(
-            onehot, gw_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    k, d_pad = _pack_factor(d)
+    r = plan.block_rows
+    rows128 = _cdiv(_cdiv(table_rows, k), r) * r
+    t_tiles = rows128 // r
+    gs128 = _pack_grads(grads_sorted.reshape(-1, d), plan.sids, plan.n, k, d_pad)
+    tile_a, tile_b, init_a, init_b, vis_a, vis_b, ok, straddle = _chunk_routing(
+        plan, k, t_tiles
+    )
+
+    def run_fused(args):
+        gs128, tile_a, tile_b, init_a, init_b, vis_a, vis_b, straddle = args
+        g_a = _scatter_pass_k(
+            plan, k, gs128, tile_a, init_a, None, t_tiles, interpret
         )
-        return carry
+        # pass B only does work on straddling chunks (guarded in-kernel)
+        g_b = _scatter_pass_k(
+            plan, k, gs128, tile_b, init_b, straddle, t_tiles, interpret
+        )
+        mask_a = jnp.repeat(vis_a.astype(jnp.float32), r)[:, None]
+        mask_b = jnp.repeat(vis_b.astype(jnp.float32), r)[:, None]
+        g = g_a * mask_a + g_b * mask_b
+        return _unpack_table(g, table_rows, d, d_pad)
 
-    nchunks = jax.lax.div(count + (chunk - 1), chunk)
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    def run_xla(args):
+        gs128 = args[0]
+        gs = _unpack_rows(gs128, plan.sids, plan.n, k, d, d_pad)
+        return scatter_add_reference((table_rows, d), plan.sids[: plan.n], gs)
 
-    g = acc_ref[:]
-    m2 = b1 * m_ref[:] + (1.0 - b1) * g
-    v2 = b2 * v_ref[:] + (1.0 - b2) * (g * g)
-    tt = step_ref[0].astype(jnp.float32)
-    m_hat = m2 / (1.0 - jnp.power(b1, tt))
-    v_hat = v2 / (1.0 - jnp.power(b2, tt))
-    po_ref[:] = p_ref[:] - lr * m_hat / (jnp.sqrt(v_hat) + eps)
-    mo_ref[:] = m2
-    vo_ref[:] = v2
+    return jax.lax.cond(
+        ok, run_fused, run_xla,
+        (gs128, tile_a, tile_b, init_a, init_b, vis_a, vis_b, straddle),
+    )
+
+
+def _scatter_pass_k(plan, k, gs128, tile_idx, init_flags, straddle, t_tiles, interpret):
+    r, w = plan.block_rows, plan.chunk
+    c = gs128.shape[0] // w
+    guarded = straddle is not None
+    scalars = [tile_idx, init_flags] + ([straddle] if guarded else [])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=len(scalars),
+        grid=(c,),
+        in_specs=[
+            pl.BlockSpec(
+                (w // LANES, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((w, LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (r, LANES),
+            lambda i, tile_ref, *_: (tile_ref[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel_body, r, w, k, guarded),
+        out_shape=jax.ShapeDtypeStruct((t_tiles * r, LANES), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*scalars, plan.sids.reshape(-1, LANES), gs128)
+
+
+def _scatter_kernel_body(block_rows, chunk, k, guarded, *refs):
+    if guarded:
+        tile_ref, init_ref, straddle_ref, sids_ref, gs_ref, g_ref = refs
+    else:
+        tile_ref, init_ref, sids_ref, gs_ref, g_ref = refs
+        straddle_ref = None
+    c = pl.program_id(0)
+
+    @pl.when(init_ref[c] == 1)
+    def _init():
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    def compute():
+        r0 = tile_ref[c] * block_rows
+        for a in range(chunk // LANES):
+            ids_col = jnp.transpose(sids_ref[a : a + 1, :], (1, 0))  # (128, 1)
+            local = jax.lax.div(ids_col, k) - r0
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, block_rows), 1) == local
+            ).astype(jnp.float32)  # foreign/sentinel ids never match
+            g_ref[:] += jax.lax.dot_general(
+                onehot, gs_ref[a * LANES : (a + 1) * LANES, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if guarded:
+        pl.when(straddle_ref[c] == 1)(compute)
+    else:
+        compute()
 
 
 def scatter_adam_sorted(
-    table: jnp.ndarray,
-    m: jnp.ndarray,
-    v: jnp.ndarray,
-    plan: ScatterPlan,
-    grads_sorted: jnp.ndarray,  # (N, D) aligned to plan.sids[:N]
-    step: jnp.ndarray,
-    lr: float,
-    b1: float = 0.9,
-    b2: float = 0.999,
-    eps: float = 1e-7,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Tile-stream dense-parity Adam with fused scatter-add of sorted grads."""
+    table, m, v, plan, grads_sorted, step, lr,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7, interpret: bool = False,
+):
+    """Dense-parity Adam for one (V, D) table: fused grad build + exact
+    optax.adam element-wise math."""
     v_rows, d = table.shape
-    r, w = plan.block_rows, plan.chunk
-    t = _cdiv(v_rows, r)
-    gs = jnp.pad(
-        grads_sorted.reshape(-1, d).astype(jnp.float32), ((0, w), (0, 0))
+    g = fused_scatter_add(v_rows, d, plan, grads_sorted.reshape(-1, d), interpret)
+    return adam_update(
+        table.astype(jnp.float32), m.astype(jnp.float32), v.astype(jnp.float32),
+        g, step, lr, b1, b2, eps,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((r, d), jnp.float32),
-            pltpu.VMEM((1, w), jnp.int32),
-            pltpu.VMEM((w, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(_scatter_adam_kernel, lr, b1, b2, eps, r, w)
-    p2, m2, v2 = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(table.shape, jnp.float32),
-            jax.ShapeDtypeStruct(table.shape, jnp.float32),
-            jax.ShapeDtypeStruct(table.shape, jnp.float32),
-        ),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(
-        plan.starts,
-        jnp.asarray(step, jnp.int32).reshape(1),
-        table.astype(jnp.float32),
-        m.astype(jnp.float32),
-        v.astype(jnp.float32),
-        plan.sids.reshape(1, -1),
-        gs,
-    )
-    return p2, m2, v2
+
+
+def scatter_adam_grouped(
+    tables, ms, vs, plan, grads_sorted, step, lr,
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7, interpret: bool = False,
+):
+    """Every table of one id space, sharing the plan's single sort."""
+    outs = [
+        scatter_adam_sorted(t, m, v, plan, g, step, lr, b1, b2, eps, interpret)
+        for t, m, v, g in zip(tables, ms, vs, grads_sorted)
+    ]
+    return [o[0] for o in outs], [o[1] for o in outs], [o[2] for o in outs]
 
 
 def fused_scatter_adam(
     table, m, v, ids, grads, step, lr,
     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7,
-    chunk: int = 512, interpret: bool = False,
+    chunk: int = CHUNK, interpret: bool = False,
 ):
     """Convenience wrapper: unsorted (ids, grads) -> sorted plan -> kernel."""
     d = table.shape[-1]
-    plan = make_scatter_plan(ids, table.shape[0], pick_block_rows(d, chunk=chunk), chunk)
+    plan = make_scatter_plan(ids, table.shape[0], chunk=chunk)
     gs = jnp.take(grads.reshape(-1, d), plan.order, axis=0)
     return scatter_adam_sorted(table, m, v, plan, gs, step, lr, b1, b2, eps, interpret)
 
 
 # ---------------------------------------------------------------------------
-# gather kernel (rows in sorted order)
+# gather: chunk-major grid, two table tiles ride on prefetch-driven index maps
 def _gather_kernel(
-    block_rows, chunk, num_rows,
-    starts_ref,  # scalar prefetch
-    tbl_ref,  # (R, D) VMEM tile
-    sids_ref,  # HBM
-    out_ref,  # (Npad, D) HBM (manual DMA)
-    idw_ref, rw_ref, sem,
+    block_rows, chunk, k,
+    tile_ref, straddle_ref,  # scalar prefetch (C,)
+    tile_a_ref, tile_b_ref, sids_ref,  # blocked inputs
+    out_ref,  # (chunk, 128) output block at (c, 0)
 ):
-    t = pl.program_id(0)
-    r0 = t * block_rows
-    start = starts_ref[t]
-    count = starts_ref[t + 1] - start
-    # zero the tail tile's out-of-bounds padding rows: they are never
-    # selected (ids < V) but garbage/NaN fill would poison 0·x in the dot
-    row_ok = (
-        jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1), 0) + r0
-    ) < num_rows
-    tile = jnp.where(row_ok, tbl_ref[:], 0.0)
-
-    def body(c, carry):
-        off = start + c * chunk
-        cp_i = pltpu.make_async_copy(
-            sids_ref.at[:, pl.ds(off, chunk)], idw_ref, sem.at[0]
-        )
-        cp_i.start()
-        cp_i.wait()
-        local = idw_ref[:] - r0  # (1, W); out-of-tile -> no iota match -> 0 row
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_rows, chunk), 0) == local
+    c = pl.program_id(0)
+    r0 = tile_ref[c] * block_rows
+    for a in range(chunk // LANES):
+        ids_col = jnp.transpose(sids_ref[a : a + 1, :], (1, 0))  # (128, 1)
+        local = jax.lax.div(ids_col, k) - r0
+        onehot_a = (
+            jax.lax.broadcasted_iota(jnp.int32, (LANES, block_rows), 1) == local
         ).astype(jnp.float32)
-        # rows[j, d] = sum_r onehot[r, j] * tile[r, d]
-        rw_ref[:] = jax.lax.dot_general(
-            onehot, tile, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        out_ref[a * LANES : (a + 1) * LANES, :] = jnp.dot(
+            onehot_a, tile_a_ref[:], preferred_element_type=jnp.float32
         )
-        # overrun rows ([count, off+W)) belong to LATER tiles and are
-        # rewritten by them — the TPU grid is sequential, so write order
-        # guarantees the final value is the owning tile's.
-        cp_o = pltpu.make_async_copy(rw_ref, out_ref.at[pl.ds(off, chunk), :], sem.at[1])
-        cp_o.start()
-        cp_o.wait()
-        return carry
 
-    nchunks = jax.lax.div(count + (chunk - 1), chunk)
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    @pl.when(straddle_ref[c] == 1)
+    def _next_tile():
+        for a in range(chunk // LANES):
+            ids_col = jnp.transpose(sids_ref[a : a + 1, :], (1, 0))
+            local = jax.lax.div(ids_col, k) - r0 - block_rows
+            onehot_b = (
+                jax.lax.broadcasted_iota(jnp.int32, (LANES, block_rows), 1) == local
+            ).astype(jnp.float32)
+            out_ref[a * LANES : (a + 1) * LANES, :] += jnp.dot(
+                onehot_b, tile_b_ref[:], preferred_element_type=jnp.float32
+            )
 
 
 def gather_rows_sorted(
     table: jnp.ndarray, plan: ScatterPlan, interpret: bool = False
 ) -> jnp.ndarray:
-    """rows[j] = table[plan.sids[j]] for j < plan.n, streaming the table
-    through VMEM once instead of issuing N random row loads."""
+    """rows[j] = table[plan.sids[j]] for j < plan.n — chunk-major one-hot
+    extraction against the (at most two) table tiles each sorted chunk
+    touches; falls back to XLA take when a chunk straddles > 2 tiles."""
     v_rows, d = table.shape
+    if d > LANES:  # column slabs
+        return jnp.concatenate(
+            [
+                gather_rows_sorted(table[:, lo : lo + LANES], plan, interpret)
+                for lo in range(0, d, LANES)
+            ],
+            axis=1,
+        )
+    k, d_pad = _pack_factor(d)
     r, w = plan.block_rows, plan.chunk
-    t = _cdiv(v_rows, r)
-    npad = plan.sids.shape[0]  # N + W
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((r, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((1, w), jnp.int32),
-            pltpu.VMEM((w, d), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, r, w, v_rows),
-        out_shape=jax.ShapeDtypeStruct((npad, d), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(plan.starts, table.astype(jnp.float32), plan.sids.reshape(1, -1))
-    return out[: plan.n]
+    rows128 = _cdiv(_cdiv(v_rows, k), r) * r
+    t_tiles = rows128 // r
+    t128 = _pack_table(table.astype(jnp.float32), k, d_pad, rows128)
+    tile_a, tile_b, _, _, _, _, ok, straddle = _chunk_routing(plan, k, t_tiles)
+    npad = plan.sids.shape[0]
+    c = npad // w
+
+    def run_fused(args):
+        t128, tile_a, straddle = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(c,),
+            in_specs=[
+                pl.BlockSpec(
+                    (r, LANES), lambda i, tref, sref: (tref[i], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (r, LANES),
+                    lambda i, tref, sref: (jnp.minimum(tref[i] + 1, t_tiles - 1), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (w // LANES, LANES), lambda i, tref, sref: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (w, LANES), lambda i, tref, sref: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[],
+        )
+        out = pl.pallas_call(
+            functools.partial(_gather_kernel, r, w, k),
+            out_shape=jax.ShapeDtypeStruct((npad, LANES), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(tile_a, straddle, t128, t128, plan.sids.reshape(-1, LANES))
+        return _unpack_rows(out, plan.sids, plan.n, k, d, d_pad)
+
+    def run_xla(args):
+        return jnp.take(table.astype(jnp.float32), plan.sids[: plan.n], axis=0)
+
+    return jax.lax.cond(ok, run_fused, run_xla, (t128, tile_a, straddle))
+
+
+def gather_rows_grouped(
+    tables: Sequence[jnp.ndarray], plan: ScatterPlan, interpret: bool = False
+) -> List[jnp.ndarray]:
+    """Every table of one id space, sharing the plan's single sort."""
+    return [gather_rows_sorted(t, plan, interpret) for t in tables]
 
 
 def unpermute_rows(rows_sorted: jnp.ndarray, plan: ScatterPlan) -> jnp.ndarray:
@@ -348,3 +487,9 @@ def _unpermute_bwd(order, g):
 
 
 _unpermute.defvjp(_unpermute_fwd, _unpermute_bwd)
+
+
+def pick_block_rows(d: int = LANES, vmem_budget: int = 10 * 1024 * 1024, chunk: int = CHUNK) -> int:
+    """Kept for API compatibility: packed tiles are (R, 128) regardless of
+    D; R = 4096 keeps tile-change (and one-hot) counts low."""
+    return 4096

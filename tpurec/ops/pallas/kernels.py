@@ -358,7 +358,7 @@ def din_attention_fused(
 
 
 def _din_bwd_kernel(
-    q_ref, k_ref, m_ref, w1_ref, b1_ref, w2_ref, alpha_ref, gp_ref, gs_ref,
+    q_ref, k_ref, m_ref, w1_ref, b1_ref, w2_ref, w2r_ref, alpha_ref, gp_ref, gs_ref,
     dq_ref, dk_ref, dw1_ref, db1_ref, dw2_ref, dalpha_ref,
 ):
     """Fused DIN attention backward: recompute-in-VMEM of the activation-unit
@@ -372,6 +372,8 @@ def _din_bwd_kernel(
     w1 = w1_ref[:].astype(f32)  # (4D, H)
     b1 = b1_ref[:].astype(f32)  # (1, H)
     w2 = w2_ref[:].astype(f32)  # (H, 1)
+    w2r = w2r_ref[:].astype(f32)  # (1, H) — same values; Mosaic rejects the
+    # (H, 1) -> (1, H) shape cast in-kernel, so the wrapper passes both
     alpha = alpha_ref[:].astype(f32)  # (1, H)
     gp = gp_ref[:].astype(f32)  # (Bt, D)
     gs = gs_ref[:].astype(f32)  # (Bt, L)
@@ -395,13 +397,15 @@ def _din_bwd_kernel(
     # ---- backward
     # ds from pooling: pooled = sum_l s * keys
     gs_tot = (gs + jnp.sum(gp[:, None, :] * keys, axis=-1)) * mask  # (Bt, L)
-    gs_flat = gs_tot.reshape(bt * l, 1)
-    dh = gs_flat * w2.reshape(1, -1)  # (BtL, H)
+    # keep lane dims intact: (Bt, L) -> (Bt, L, 1) broadcasts, leading-dim
+    # collapses only (Mosaic rejects (Bt, L) -> (Bt*L, 1) shape casts)
+    dh = (gs_tot[:, :, None] * w2r[None]).reshape(bt * l, -1)  # (BtL, H)
     dlin = dh * (jnp.where(lin > 0, 1.0, 0.0) + alpha * jnp.where(lin < 0, 1.0, 0.0))
     # parameter-grad contributions of this batch tile
-    dw2_c = jax.lax.dot_general(
-        hval, gs_flat, (((0,), (0,)), ((), ())), preferred_element_type=f32
-    )  # (H, 1)
+    dw2_c = jnp.sum(
+        (gs_tot[:, :, None] * hval.reshape(bt, l, -1)).reshape(bt * l, -1),
+        axis=0, keepdims=True,
+    )  # (1, H)
     dalpha_c = jnp.sum(dh * neg_part, axis=0, keepdims=True)  # (1, H)
     db1_c = jnp.sum(dlin, axis=0, keepdims=True)  # (1, H)
     dlin_b = jnp.sum(dlin.reshape(bt, l, -1), axis=1)  # (Bt, H)
@@ -470,7 +474,7 @@ def din_attention_bwd_fused(
             jax.ShapeDtypeStruct((b_pad, l, d), jnp.float32),
             jax.ShapeDtypeStruct((4 * d, h), jnp.float32),
             jax.ShapeDtypeStruct((1, h), jnp.float32),
-            jax.ShapeDtypeStruct((h, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, h), jnp.float32),
             jax.ShapeDtypeStruct((1, h), jnp.float32),
         ),
         grid=(b_pad // bb,),
@@ -482,6 +486,7 @@ def din_attention_bwd_fused(
             pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, 1), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -490,13 +495,13 @@ def din_attention_bwd_fused(
             pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * d, h), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, 1), zero2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), zero2, memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(
         query, keys, mask, w1, b1.reshape(1, -1), w2.reshape(-1, 1),
-        alpha.reshape(1, -1), gp, gs,
+        w2.reshape(1, -1), alpha.reshape(1, -1), gp, gs,
     )
     return dq[:b], dk[:b], dw1, db1.reshape(-1), dw2.reshape(-1), dalpha.reshape(-1)
 

@@ -477,11 +477,12 @@ class Trainer:
         would break padding-index masks) and an unsharded model axis."""
         from tpurec.embedding.sparse import SparseAdamState
         from tpurec.ops.pallas.embedding_update import (
+            CHUNK,
             _unpermute,
-            gather_rows_sorted,
+            gather_rows_grouped,
             make_scatter_plan,
             pick_block_rows,
-            scatter_adam_sorted,
+            scatter_adam_grouped,
             unpermute_rows,
         )
 
@@ -505,7 +506,7 @@ class Trainer:
         id_features = list(self.info.feature_names)
         mutable = ["batch_stats"]
         interpret = jax.default_backend() != "tpu"
-        chunk = 512
+        chunk = CHUNK
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
@@ -525,18 +526,24 @@ class Trainer:
             assert all(t.shape[0] == v_rows for t in flat_tables), (
                 "fused_adam expects one shared id space across tables"
             )
-            d_flats = [int(np.prod(t.shape[1:])) for t in flat_tables]
-            block_rows = min(pick_block_rows(d, chunk=chunk) for d in d_flats)
-            plan = make_scatter_plan(ids_all, v_rows, block_rows, chunk)
-            # fused tile-stream gather (sorted) -> original order
-            rows_leaves = []
-            for t in flat_tables:
-                rs = gather_rows_sorted(
-                    t.reshape(t.shape[0], -1), plan, interpret=interpret
-                )
+            flat2d = [t.reshape(t.shape[0], -1) for t in flat_tables]
+            plan = make_scatter_plan(
+                ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
+            )
+            # forward rows via ONE concatenated XLA take (original order):
+            # XLA's TPU gather is latency-bound per ROW (~24M rows/s), so a
+            # single take over the column-concatenated tables costs the same
+            # as the widest table's take alone; measured faster than the
+            # Pallas tile-stream gather + unpermute on this chip/toolchain
+            widths = [int(np.prod(t.shape[1:])) for t in flat_tables]
+            cat = jnp.concatenate(flat2d, axis=1)
+            rows_cat = jnp.take(cat, ids_all, axis=0)
+            rows_leaves, col = [], 0
+            for t, wdt in zip(flat_tables, widths):
                 rows_leaves.append(
-                    unpermute_rows(rs, plan).reshape((n_ids,) + t.shape[1:])
+                    rows_cat[:, col : col + wdt].reshape((n_ids,) + t.shape[1:])
                 )
+                col += wdt
             rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
             if l2_coeff > 0:
                 # first-occurrence mask in ORIGINAL order: used-id L2 counts
@@ -602,27 +609,33 @@ class Trainer:
             flat_opt = jax.tree_util.tree_flatten(
                 state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
             )[0]
-            new_tables, new_opts = [], []
-            for t, g, o in zip(flat_tables, flat_grads, flat_opt):
-                d = int(np.prod(t.shape[1:]))
-                gs = jnp.take(g.reshape(n_ids, d), plan.order, axis=0)
-                nt, nm, nv = scatter_adam_sorted(
-                    t.reshape(-1, d),
-                    o.m.reshape(-1, d),
-                    o.v.reshape(-1, d),
-                    plan,
-                    gs,
-                    new_step,
-                    oc.learning_rate,
-                    oc.b1,
-                    oc.b2,
-                    oc.eps,
-                    interpret=interpret,
-                )
-                new_tables.append(nt.reshape(t.shape))
-                new_opts.append(
-                    SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
-                )
+            # one concatenated permute (same latency-bound-per-row argument)
+            g_cat = jnp.take(
+                jnp.concatenate([g.reshape(n_ids, -1) for g in flat_grads], axis=1),
+                plan.order, axis=0,
+            )
+            gs_list, col = [], 0
+            for wdt in widths:
+                gs_list.append(g_cat[:, col : col + wdt])
+                col += wdt
+            nps, nms, nvs = scatter_adam_grouped(
+                flat2d,
+                [o.m.reshape(o.m.shape[0], -1) for o in flat_opt],
+                [o.v.reshape(o.v.shape[0], -1) for o in flat_opt],
+                plan,
+                gs_list,
+                new_step,
+                oc.learning_rate,
+                oc.b1,
+                oc.b2,
+                oc.eps,
+                interpret=interpret,
+            )
+            new_tables = [p.reshape(t.shape) for p, t in zip(nps, flat_tables)]
+            new_opts = [
+                SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
+                for nm, nv, t in zip(nms, nvs, flat_tables)
+            ]
             tables = jax.tree_util.tree_unflatten(treedef, new_tables)
             table_opt = jax.tree_util.tree_unflatten(treedef, new_opts)
             new_state = TrainState(
