@@ -25,7 +25,7 @@ OUT = os.path.join(os.path.dirname(__file__), "fm_weak_sweep.json")
 
 
 def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
-            trials=4, opt="adam", schedule="", schedule_alpha=0.0):
+            trials=4, opt="adam", schedule="", schedule_alpha=0.0, l2_w=-1.0):
     from tpurec.config import (
         EarlyStopConfig,
         EmbeddingConfig,
@@ -50,6 +50,7 @@ def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
                 name=opt,
                 learning_rate=lr,
                 embedding_l2=emb_l2,
+                embedding_l2_order1=l2_w,
                 lr_schedule=schedule,
                 schedule_steps=(epochs * (480_000 // batch)) if schedule else 0,
                 schedule_alpha=schedule_alpha,
@@ -123,12 +124,24 @@ def main():
              schedule="cosine", trials=30),
         dict(lr=1e-3, batch=256, emb_l2=7e-5, used_l2=0.0, dim=8, epochs=30,
              schedule="cosine", trials=30),
+        # round 3: per-order L2 — light on the order-1 bias table (7e-5, the
+        # probe-calibrated value), heavy on the interaction table (suppress
+        # spurious id-vector interactions the probe never had)
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=7e-5),
+        dict(lr=1e-3, batch=256, emb_l2=1e-3, used_l2=0.0, dim=16, epochs=20,
+             l2_w=7e-5),
+        dict(lr=1e-3, batch=256, emb_l2=3e-3, used_l2=0.0, dim=16, epochs=20,
+             l2_w=7e-5),
+        dict(lr=1e-3, batch=256, emb_l2=1e-2, used_l2=0.0, dim=16, epochs=20,
+             l2_w=7e-5),
     ]
     for c in configs:
         key = (
             f"lr{c['lr']}_b{c['batch']}_l2{c['emb_l2']}_ul2{c['used_l2']}_d{c['dim']}"
             + (f"_{c['opt']}" if c.get("opt", "adam") != "adam" else "")
             + (f"_{c['schedule']}" if c.get("schedule") else "")
+            + (f"_lw{c['l2_w']}" if c.get("l2_w", -1.0) >= 0 else "")
         )
         if key in results:
             print(f"skip {key} (done)", flush=True)

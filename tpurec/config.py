@@ -112,6 +112,12 @@ class OptimizerConfig(_Base):
     # (decay applies every step, data gradients rarely), which is the right
     # prior for noisy high-cardinality features in the weak-signal regime.
     embedding_l2: float = 0.0
+    # optional SEPARATE coupled L2 for order-1 (LinearEmbedding 'w') tables;
+    # < 0 means "use embedding_l2 for them too". The bias table wants light
+    # shrinkage (it carries per-id base rates) while the interaction table
+    # wants heavy shrinkage (id vectors interact with every field) — a
+    # split the reference's single Keras coefficient cannot express.
+    embedding_l2_order1: float = -1.0
     # sparse-embedding-mode table optimizer: 'adam' (dense-Adam-parity math,
     # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
     # row, O(V) optimizer memory - the production-embedding trade) |

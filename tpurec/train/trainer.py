@@ -126,19 +126,38 @@ class Trainer:
         chain = []
         if oc.grad_clip_norm > 0:
             chain.append(optax.clip_by_global_norm(oc.grad_clip_norm))
-        if oc.embedding_l2 > 0:
+        if oc.embedding_l2 > 0 or oc.embedding_l2_order1 > 0:
             # coupled full-table L2 on embedding tables (Keras
             # embeddings_regularizer="l2" semantics — the reference FM's
             # regularization, 2.FM/CustomLayers.py:129-134): grad += λ·w for
             # every param named 'embedding*', applied BEFORE the optimizer.
+            # Order-1 ('w' LinearEmbedding) tables can take their own λ.
+            def _is_emb(path):
+                return str(getattr(path[-1], "key", path[-1])).startswith("embedding")
+
+            def _is_order1(path):
+                return any(str(getattr(k, "key", k)) == "w" for k in path[:-1])
+
+            split = oc.embedding_l2_order1 >= 0
+
             def _emb_mask(params):
-                def lab(path, _):
-                    last = str(getattr(path[-1], "key", path[-1]))
-                    return last.startswith("embedding")
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: _is_emb(path) and not (split and _is_order1(path)),
+                    params,
+                )
 
-                return jax.tree_util.tree_map_with_path(lab, params)
+            if oc.embedding_l2 > 0:
+                chain.append(optax.add_decayed_weights(oc.embedding_l2, mask=_emb_mask))
+            if split and oc.embedding_l2_order1 > 0:
 
-            chain.append(optax.add_decayed_weights(oc.embedding_l2, mask=_emb_mask))
+                def _w_mask(params):
+                    return jax.tree_util.tree_map_with_path(
+                        lambda path, _: _is_emb(path) and _is_order1(path), params
+                    )
+
+                chain.append(
+                    optax.add_decayed_weights(oc.embedding_l2_order1, mask=_w_mask)
+                )
         lr = oc.learning_rate
         if oc.lr_schedule == "cosine" and oc.schedule_steps > 0:
             lr = optax.cosine_decay_schedule(
