@@ -25,7 +25,8 @@ OUT = os.path.join(os.path.dirname(__file__), "fm_weak_sweep.json")
 
 
 def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
-            trials=4, opt="adam", schedule="", schedule_alpha=0.0, l2_w=-1.0):
+            trials=4, opt="adam", schedule="", schedule_alpha=0.0, l2_w=-1.0,
+            init_scale=0.05):
     from tpurec.config import (
         EarlyStopConfig,
         EmbeddingConfig,
@@ -39,7 +40,10 @@ def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
 
     cfg = ExperimentConfig(
         model=ModelConfig(
-            name="fm", embedding=EmbeddingConfig(dim=dim, used_id_l2=used_l2)
+            name="fm",
+            embedding=EmbeddingConfig(
+                dim=dim, used_id_l2=used_l2, init_scale=init_scale
+            ),
         ),
         train=TrainConfig(
             batch_size=batch,
@@ -135,6 +139,19 @@ def main():
              l2_w=7e-5),
         dict(lr=1e-3, batch=256, emb_l2=1e-2, used_l2=0.0, dim=16, epochs=20,
              l2_w=7e-5),
+        # round 4: refine around the (3e-4, 7e-5) optimum (0.58547)
+        dict(lr=1e-3, batch=256, emb_l2=1.5e-4, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5),
+        dict(lr=1e-3, batch=256, emb_l2=4e-4, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
+             l2_w=4e-5),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
+             l2_w=1.2e-4),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5, init_scale=0.01),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=16,
+             l2_w=7e-5),
     ]
     for c in configs:
         key = (
@@ -142,6 +159,7 @@ def main():
             + (f"_{c['opt']}" if c.get("opt", "adam") != "adam" else "")
             + (f"_{c['schedule']}" if c.get("schedule") else "")
             + (f"_lw{c['l2_w']}" if c.get("l2_w", -1.0) >= 0 else "")
+            + (f"_is{c['init_scale']}" if c.get("init_scale", 0.05) != 0.05 else "")
         )
         if key in results:
             print(f"skip {key} (done)", flush=True)
