@@ -26,7 +26,7 @@ OUT = os.path.join(os.path.dirname(__file__), "fm_weak_sweep.json")
 
 def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
             trials=4, opt="adam", schedule="", schedule_alpha=0.0, l2_w=-1.0,
-            init_scale=0.05):
+            init_scale=0.05, l2_ids=-1.0):
     from tpurec.config import (
         EarlyStopConfig,
         EmbeddingConfig,
@@ -55,6 +55,9 @@ def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
                 learning_rate=lr,
                 embedding_l2=emb_l2,
                 embedding_l2_order1=l2_w,
+                embedding_l2_overrides=(
+                    {"uid": l2_ids, "iid": l2_ids} if l2_ids >= 0 else {}
+                ),
                 lr_schedule=schedule,
                 schedule_steps=(epochs * (480_000 // batch)) if schedule else 0,
                 schedule_alpha=schedule_alpha,
@@ -152,6 +155,17 @@ def main():
              l2_w=7e-5, init_scale=0.01),
         dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=16,
              l2_w=7e-5),
+        # round 5: per-feature decay — crush the uid/iid interaction vectors
+        # (pure noise on this data), leave tag vectors nearly free (the
+        # liblinear probe's geometry: unshrunk explicit cross + ridge ids)
+        dict(lr=1e-3, batch=256, emb_l2=7e-5, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5, l2_ids=3e-3),
+        dict(lr=1e-3, batch=256, emb_l2=3e-5, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5, l2_ids=3e-3),
+        dict(lr=1e-3, batch=256, emb_l2=7e-5, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5, l2_ids=1e-3),
+        dict(lr=1e-3, batch=256, emb_l2=1e-5, used_l2=0.0, dim=16, epochs=16,
+             l2_w=7e-5, l2_ids=1e-2),
     ]
     for c in configs:
         key = (
@@ -160,6 +174,7 @@ def main():
             + (f"_{c['schedule']}" if c.get("schedule") else "")
             + (f"_lw{c['l2_w']}" if c.get("l2_w", -1.0) >= 0 else "")
             + (f"_is{c['init_scale']}" if c.get("init_scale", 0.05) != 0.05 else "")
+            + (f"_ids{c['l2_ids']}" if c.get("l2_ids", -1.0) >= 0 else "")
         )
         if key in results:
             print(f"skip {key} (done)", flush=True)

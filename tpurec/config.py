@@ -118,6 +118,12 @@ class OptimizerConfig(_Base):
     # wants heavy shrinkage (id vectors interact with every field) — a
     # split the reference's single Keras coefficient cannot express.
     embedding_l2_order1: float = -1.0
+    # per-FEATURE overrides of embedding_l2 for second-order tables: feature
+    # name -> coefficient, applied to that feature's offset row range of the
+    # shared table (high-cardinality id features want far stronger
+    # interaction-vector shrinkage than low-cardinality tags — the
+    # per-feature regularization scale production recsys systems expose).
+    embedding_l2_overrides: Mapping[str, float] = field(default_factory=dict)
     # sparse-embedding-mode table optimizer: 'adam' (dense-Adam-parity math,
     # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
     # row, O(V) optimizer memory - the production-embedding trade) |

@@ -158,6 +158,44 @@ class Trainer:
                 chain.append(
                     optax.add_decayed_weights(oc.embedding_l2_order1, mask=_w_mask)
                 )
+            if oc.embedding_l2_overrides:
+                # per-feature row-range decay on second-order tables: build a
+                # (V, 1) coefficient vector over the shared id space
+                lam = np.full((self.info.total_dims,), 0.0, np.float32)
+                for name, off, dim in zip(
+                    self.info.feature_names,
+                    self.info.feature_offsets,
+                    self.info.feature_dims,
+                ):
+                    if name in oc.embedding_l2_overrides:
+                        # delta on top of the base embedding_l2 already added
+                        lam[off : off + dim] = (
+                            oc.embedding_l2_overrides[name] - oc.embedding_l2
+                        )
+                lam_vec = jnp.asarray(lam)
+
+                def _rowwise_decay():
+                    def init_fn(params):
+                        return optax.EmptyState()
+
+                    def update_fn(updates, state, params=None):
+                        def add(path, u, p):
+                            if not (_is_emb(path) and not _is_order1(path)):
+                                return u
+                            pad = p.shape[0] - lam_vec.shape[0]
+                            v = (
+                                jnp.pad(lam_vec, (0, pad)) if pad > 0 else lam_vec[: p.shape[0]]
+                            ).reshape((p.shape[0],) + (1,) * (p.ndim - 1))
+                            return u + v * p
+
+                        return (
+                            jax.tree_util.tree_map_with_path(add, updates, params),
+                            state,
+                        )
+
+                    return optax.GradientTransformation(init_fn, update_fn)
+
+                chain.append(_rowwise_decay())
         lr = oc.learning_rate
         if oc.lr_schedule == "cosine" and oc.schedule_steps > 0:
             lr = optax.cosine_decay_schedule(
