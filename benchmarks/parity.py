@@ -116,7 +116,7 @@ def dssm_oracle(raw, encoder, pos, uniq, truth):
 
 def run_ranking(
     name, info, train, test, epochs, lr, batch=512, loss="bce", dim=16, l2=0.0,
-    model_params=None, emb_l2=0.0, trials=3,
+    model_params=None, emb_l2=0.0, trials=3, optimizer_kwargs=None,
 ):
     from tpurec.config import (
         EmbeddingConfig,
@@ -139,7 +139,9 @@ def run_ranking(
             epochs=epochs,
             log_every_steps=0,
             loss=loss,
-            optimizer=OptimizerConfig(learning_rate=lr, embedding_l2=emb_l2),
+            optimizer=OptimizerConfig(
+                learning_rate=lr, embedding_l2=emb_l2, **(optimizer_kwargs or {})
+            ),
             early_stop=__import__("tpurec.config", fromlist=["EarlyStopConfig"]).EarlyStopConfig(num_trials=trials),
         ),
     )
