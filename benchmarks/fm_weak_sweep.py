@@ -142,18 +142,10 @@ def main():
              l2_w=7e-5),
         dict(lr=1e-3, batch=256, emb_l2=1e-2, used_l2=0.0, dim=16, epochs=20,
              l2_w=7e-5),
-        # round 4: refine around the (3e-4, 7e-5) optimum (0.58547)
+        # round 4 (trimmed): refine around the (3e-4, 7e-5) optimum (0.58547)
         dict(lr=1e-3, batch=256, emb_l2=1.5e-4, used_l2=0.0, dim=16, epochs=16,
              l2_w=7e-5),
         dict(lr=1e-3, batch=256, emb_l2=4e-4, used_l2=0.0, dim=16, epochs=16,
-             l2_w=7e-5),
-        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
-             l2_w=4e-5),
-        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
-             l2_w=1.2e-4),
-        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=16,
-             l2_w=7e-5, init_scale=0.01),
-        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=16,
              l2_w=7e-5),
         # round 5: per-feature decay — crush the uid/iid interaction vectors
         # (pure noise on this data), leave tag vectors nearly free (the

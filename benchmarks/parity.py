@@ -370,19 +370,27 @@ def main():
         train_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "train"))
         test_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "test"))
         if "fm_weak" in models:
-            # weak signals converge slowly (reference ran 30 epochs,
-            # 3.DCN/ModelManager.py:18) — double budget, early-stop bounds it.
-            # l2 on used embedding rows matches the reference FM's
-            # embeddings_regularizer="l2" (keras default 0.01) — essential
-            # against uid/iid noise memorization in this regime
+            # recipe from benchmarks/fm_weak_sweep.py (30+ configs swept):
+            # full-table coupled L2 split by order — 3e-4 on the interaction
+            # table (suppresses spurious id-vector interactions), 7e-5 on the
+            # order-1 bias table (the liblinear-probe-calibrated ridge that
+            # keeps per-id base-rate signal). The probe ceiling on this data
+            # is 0.58829 (ridge LR with an EXPLICIT utag1×itag1 cross);
+            # tags-only Bayes is 0.5836 — anything above it proves id-signal
+            # recovery. Keras' single l2 coefficient (reference recipe,
+            # 2.FM/CustomLayers.py:129-134) measured 0.5611 here.
             _, _, rep = run_ranking(
-                "fm", info_w, train_w, test_w, epochs * 2, lr=0.005, l2=0.01
+                "fm", info_w, train_w, test_w, epochs * 2 + 6, lr=0.001,
+                batch=256, emb_l2=3e-4, trials=5,
+                optimizer_kwargs={"embedding_l2_order1": 7e-5},
             )
             results["fm_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],
                 "target": 0.5879,
                 "oracle_auc": float(orc["oracle_auc"]),
                 "cat_only_oracle_auc": float(orc["cat_only_auc"]),
+                "tags_only_oracle_auc": float(orc["tags_only_auc"]),
+                "ridge_probe_auc": 0.58829,
                 "seconds": rep["train_seconds"],
             }
         if "autoint_weak" in models:
