@@ -152,3 +152,60 @@ def test_mind_trains_with_in_batch_softmax():
     # 3 epochs and keeps climbing (duplicate dominant items across users put
     # a ceiling below 1.0)
     assert report["best_eval"]["accuracy"] > 0.2, report
+
+
+@pytest.mark.parametrize("name", RETRIEVAL)
+@pytest.mark.parametrize("num_neg", [0, 8])
+def test_normalize_logits_contract(name, num_neg):
+    """normalize_logits: item embeddings unit-norm, logit_scale param exists,
+    sampled logits (if any) match the cosine geometry, outputs finite."""
+    model = build_model(
+        ModelConfig(
+            name=name,
+            params={"normalize_logits": True, "num_sampled_negatives": num_neg},
+            embedding=EmbeddingConfig(dim=16),
+        ),
+        INFO,
+    )
+    inputs = make_batch()
+    rngs = {"params": jax.random.key(0), "sampling": jax.random.key(1)}
+    variables = model.init(rngs, inputs, train=True)
+    out = model.apply(
+        variables, inputs, train=True,
+        rngs={"dropout": jax.random.key(2), "sampling": jax.random.key(3)},
+    )
+    item = np.asarray(out["item_embedding"], np.float32)
+    np.testing.assert_allclose(np.linalg.norm(item, axis=-1), 1.0, atol=1e-3)
+    flat = {jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_leaves_with_path(variables["params"])}
+    assert any("logit_scale" in k for k in flat), sorted(flat)
+    # user side carries the temperature: |output| = scale * |cos| <= scale
+    scale = float(np.log1p(np.exp(10.0)))  # softplus of the init constant
+    assert np.all(np.abs(np.asarray(out["output"])) <= scale + 1e-3)
+    assert np.all(np.isfinite(np.asarray(out["output"])))
+    if num_neg:
+        assert out["logits"].shape == (6, 1 + num_neg)
+        assert np.all(np.abs(np.asarray(out["logits"])) <= scale + 1e-3)
+
+
+def test_normalize_logits_preserves_ranking():
+    """The positive temperature rescales per-user scores monotonically, so the
+    serving top-k from user@item.T is unchanged vs plain normalized cosine."""
+    model = build_model(
+        ModelConfig(
+            name="mind",
+            params={"normalize_logits": True},
+            embedding=EmbeddingConfig(dim=16),
+        ),
+        INFO,
+    )
+    inputs = make_batch(batch=8)
+    variables = model.init(jax.random.key(0), inputs)
+    out = model.apply(variables, inputs)
+    u = np.asarray(out["user_embedding"], np.float32)
+    i = np.asarray(out["item_embedding"], np.float32)
+    scores = u @ i.T
+    cos = (u / np.linalg.norm(u, axis=-1, keepdims=True)) @ i.T
+    np.testing.assert_array_equal(
+        np.argsort(-scores, axis=-1), np.argsort(-cos, axis=-1)
+    )

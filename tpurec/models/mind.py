@@ -47,6 +47,13 @@ class _RetrievalBase(nn.Module):
     # the shared id space.
     num_sampled_negatives: int = 0
     query_feature_ranges: Sequence[Any] = ()
+    # Cosine-logit head: L2-normalize the user/item/capsule outputs and scale
+    # the user side by one learned softplus temperature. Per-user ranking is
+    # unchanged by the positive scalar, so serving/indexer semantics are
+    # identical; only the softmax-training geometry improves — the same fix
+    # that took the DSSM tower to 98% of its oracle recall
+    # (models/fm.py DSSMTwoTowerRetrieval logit_scale).
+    normalize_logits: bool = False
     dtype: Optional[Any] = None
     mesh: Optional[Mesh] = None
 
@@ -72,6 +79,38 @@ class _RetrievalBase(nn.Module):
         e = emb(stack_ids(inputs, list(self.user_features)))
         return e.reshape(e.shape[0], -1)
 
+    def _finalize(self, out: Outputs, emb, train: bool) -> Outputs:
+        """Shared output post-pass: optional cosine-logit normalization
+        (normalize_logits) + optional sampled-negative logits
+        (num_sampled_negatives). Every _RetrievalBase model returns through
+        here so the two training-geometry knobs compose identically across
+        MIND/SDM/ComiRec/SINE."""
+        out = dict(out)
+        if self.normalize_logits:
+            scale = nn.softplus(
+                self.param(
+                    "logit_scale", nn.initializers.constant(10.0), (), jnp.float32
+                )
+            )
+
+            def unit(x):
+                x32 = x.astype(jnp.float32)
+                return x32 / (
+                    jnp.linalg.norm(x32, axis=-1, keepdims=True) + 1e-6
+                )
+
+            u = unit(out["user_embedding"]) * scale
+            i = unit(out["item_embedding"])
+            out["user_embedding"], out["item_embedding"] = u, i
+            if "interest_capsules" in out:
+                out["interest_capsules"] = unit(out["interest_capsules"]) * scale
+            out["output"] = jnp.sum(u * i, axis=-1)
+        if train and self.num_sampled_negatives > 0:
+            out["logits"] = self._sampled_logits(
+                emb, out["user_embedding"], out["item_embedding"]
+            )
+        return out
+
     def _sampled_logits(self, emb, user_vec: jnp.ndarray, target: jnp.ndarray):
         """[pos ∥ N sampled-negative] inner-product logits (see
         num_sampled_negatives)."""
@@ -89,7 +128,11 @@ class _RetrievalBase(nn.Module):
                 jax.random.randint(jax.random.fold_in(rng, j), (b, n), lo, int(hi))
             )
         neg_ids = jnp.stack(cols, axis=-1)  # (B, N, F)
-        neg_emb = emb(neg_ids).reshape(b, n, -1)
+        neg_emb = emb(neg_ids).reshape(b, n, -1).astype(jnp.float32)
+        if self.normalize_logits:  # match the cosine geometry of _finalize
+            neg_emb = neg_emb / (
+                jnp.linalg.norm(neg_emb, axis=-1, keepdims=True) + 1e-6
+            )
         u = user_vec.astype(jnp.float32)
         pos = jnp.einsum("bd,bd->b", u, target.astype(jnp.float32))[:, None]
         negs = jnp.einsum("bd,bnd->bn", u, neg_emb.astype(jnp.float32))
@@ -135,9 +178,7 @@ class MIND(_RetrievalBase):
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
-        if train and self.num_sampled_negatives > 0:
-            out["logits"] = self._sampled_logits(emb, user_vec, target)
-        return out
+        return self._finalize(out, emb, train)
 
 
 def _attn_pool(user_q: jnp.ndarray, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
@@ -230,9 +271,7 @@ class SDM(_RetrievalBase):
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
-        if train and self.num_sampled_negatives > 0:
-            out["logits"] = self._sampled_logits(emb, user_vec, target)
-        return out
+        return self._finalize(out, emb, train)
 
 
 class ComiRec(_RetrievalBase):
@@ -281,9 +320,7 @@ class ComiRec(_RetrievalBase):
             "capsule_mask": cap_mask,
             "output": jnp.max(scores, axis=-1),
         }
-        if train and self.num_sampled_negatives > 0:
-            out["logits"] = self._sampled_logits(emb, user_vec, target)
-        return out
+        return self._finalize(out, emb, train)
 
 
 def greedy_diverse_topk(
@@ -385,6 +422,4 @@ class SINE(_RetrievalBase):
             cov = (p.T @ p) / self.pool_size
             off_diag = cov - jnp.diag(jnp.diag(cov))
             out["auxiliary_loss"] = self.cov_weight * 0.5 * jnp.sum(jnp.square(off_diag))
-        if train and self.num_sampled_negatives > 0:
-            out["logits"] = self._sampled_logits(emb, user_vec, target)
-        return out
+        return self._finalize(out, emb, train)
