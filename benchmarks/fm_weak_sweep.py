@@ -158,6 +158,20 @@ def main():
              l2_w=7e-5, l2_ids=1e-3),
         dict(lr=1e-3, batch=256, emb_l2=1e-5, used_l2=0.0, dim=16, epochs=16,
              l2_w=7e-5, l2_ids=1e-2),
+        # round 6 (r3): compose the (3e-4, 4e-5) winner (0.5862) with the two
+        # levers that each helped independently — cosine annealing (+0.0008
+        # at the 7e-5 config) and dim 8 — chasing the last 0.002 to the 0.588
+        # bar (ridge-probe ceiling 0.58829)
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=4e-5, schedule="cosine", trials=6),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=20,
+             l2_w=4e-5, trials=6),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=20,
+             l2_w=4e-5, schedule="cosine", trials=6),
+        dict(lr=1e-3, batch=256, emb_l2=2.5e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=4e-5, trials=6),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=2.5e-5, trials=6),
     ]
     for c in configs:
         key = (

@@ -183,6 +183,97 @@ def bench_capsule():
     )
 
 
+def _sq_loss(fn):
+    """Scalar loss over every float output — makes fwd+bwd comparable across
+    kernels whose outputs are tuples."""
+    def f(*a):
+        leaves = jax.tree_util.tree_leaves(fn(*a))
+        return sum(
+            jnp.sum(x * x) for x in leaves if jnp.issubdtype(x.dtype, jnp.floating)
+        )
+    return f
+
+
+def _train_entry(name, shape, ref_fn, fused_fn, args, argnums):
+    """fwd+bwd row (VERDICT r2 #3): value_and_grad through the kernel vs
+    through its pure-JAX reference. For DIN the backward is itself a Pallas
+    kernel (din_attention_bwd_fused); the rest recompute via XLA autodiff of
+    the reference inside the custom VJP."""
+    ref = jax.jit(jax.value_and_grad(_sq_loss(ref_fn), argnums=argnums))
+    fused = jax.jit(jax.value_and_grad(_sq_loss(fused_fn), argnums=argnums))
+    lr, gr = ref(*args)
+    lf, gf = fused(*args)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=5e-2)
+    return _entry(name, shape, _time(ref, *args), _time(fused, *args))
+
+
+def bench_fm_train():
+    from tpurec.ops.pallas.kernels import fm_second_order_fused, fm_second_order_reference
+
+    b, f, d = 8192, 26, 32
+    emb = jnp.asarray(np.random.default_rng(0).normal(size=(b, f, d)).astype(np.float32))
+    return _train_entry(
+        "fm_train", f"B={b} F={f} D={d}",
+        fm_second_order_reference, fm_second_order_fused, (emb,), 0,
+    )
+
+
+def bench_cross_train():
+    from tpurec.ops.pallas.kernels import cross_network_reference, cross_network_stack
+
+    b, d, layers = 8192, 416, 3
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    weights = jnp.asarray(rng.normal(size=(layers, d)).astype(np.float32) * 0.1)
+    biases = jnp.zeros((layers, d), jnp.float32)
+    return _train_entry(
+        "cross_train", f"B={b} D={d} L={layers}",
+        lambda x, w, bs: cross_network_reference(x, w, bs),
+        lambda x, w, bs: cross_network_stack(x, w, bs),
+        (x0, weights, biases), (0, 1, 2),
+    )
+
+
+def bench_din_train():
+    from tpurec.ops.pallas.kernels import din_attention_fused, din_attention_reference
+
+    b, l, d, h = 4096, 64, 32, 36
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    mask = jnp.ones((b, l), jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(4 * d, h)).astype(np.float32) * 0.1)
+    b1 = jnp.zeros((h,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(h,)).astype(np.float32) * 0.1)
+    al = jnp.full((h,), 0.25, jnp.float32)
+    return _train_entry(
+        "din_train", f"B={b} L={l} D={d} H={h}",
+        lambda *a: din_attention_reference(*a),
+        lambda *a: din_attention_fused(*a),
+        (q, k, mask, w1, b1, w2, al), (0, 1, 3, 4, 5, 6),
+    )
+
+
+def bench_capsule_train():
+    from tpurec.ops.pallas.kernels import (
+        capsule_routing_fused,
+        capsule_routing_reference,
+    )
+
+    b, l, d, k, iters = 4096, 64, 64, 4, 3
+    rng = np.random.default_rng(4)
+    behavior = jnp.asarray(rng.normal(size=(b, l, d)).astype(np.float32))
+    mask = jnp.ones((b, l), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.2)
+    logits0 = jnp.asarray(rng.normal(size=(b, k, l)).astype(np.float32))
+    return _train_entry(
+        "capsule_train", f"B={b} L={l} D={d} K={k} it={iters}",
+        lambda *a: capsule_routing_reference(*a, num_iters=iters),
+        lambda *a: capsule_routing_fused(*a, num_iters=iters),
+        (behavior, mask, s, logits0), (0, 2),
+    )
+
+
 BENCHES = {
     "fm": bench_fm,
     "cross": bench_cross,
@@ -190,6 +281,10 @@ BENCHES = {
     "din": bench_din,
     "senet": bench_senet,
     "capsule": bench_capsule,
+    "fm_train": bench_fm_train,
+    "cross_train": bench_cross_train,
+    "din_train": bench_din_train,
+    "capsule_train": bench_capsule_train,
 }
 
 if __name__ == "__main__":

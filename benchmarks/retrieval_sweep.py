@@ -59,6 +59,15 @@ def main():
         ("comirec", "neg512", {"num_sampled_negatives": 512}, 0.002, 32, 12),
         ("comirec", "neg128_k8", {"num_sampled_negatives": 128, "num_interests": 8}, 0.002, 32, 12),
         ("comirec", "inbatch_long", {}, 0.002, 32, 12),  # r2 recipe, 2x epochs
+        # round-3b: cosine-logit head (normalize_logits) — the DSSM fix.
+        # Sampled softmax measurably HURT above (0.0265 vs 0.040 in-batch),
+        # so the cosine axis sweeps mostly over the in-batch loss.
+        ("mind", "cos_inbatch", {"normalize_logits": True}, 0.002, 32, 12),
+        ("comirec", "cos_inbatch", {"normalize_logits": True}, 0.002, 32, 12),
+        ("mind", "cos_neg512", {"normalize_logits": True, "num_sampled_negatives": 512}, 0.002, 32, 12),
+        ("mind", "cos_inbatch_lr005", {"normalize_logits": True}, 0.005, 32, 12),
+        ("mind", "cos_inbatch_d64", {"normalize_logits": True}, 0.002, 64, 12),
+        ("comirec", "cos_inbatch_d64", {"normalize_logits": True}, 0.002, 64, 12),
     ]
     for name, suffix, mp, lr, dim, epochs in configs:
         key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}"
