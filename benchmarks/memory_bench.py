@@ -8,6 +8,8 @@ optimizer, against dense Adam's 2·V·D fp32 moments:
     rowwise_adam    — bf16 momentum + per-row fp32 second moment (~0.53x of
                       ONE table's memory; 0.26x of dense-Adam moments)
     rowwise_adagrad — one fp32 accumulator per row (~1/128 of dense moments)
+    host_adam       — moments in host DRAM (embedding/host_offload.py):
+                      ZERO device bytes for optimizer state
 
 Writes benchmarks/memory_bench_results.json.
 Usage: python benchmarks/memory_bench.py [--vocab 8000000] [--dim 64]
@@ -82,7 +84,7 @@ def main():
         "platform": args.platform,
         "optimizers": {},
     }
-    for opt_name in ("rowwise_adam", "rowwise_adagrad", "adam"):
+    for opt_name in ("rowwise_adam", "rowwise_adagrad", "adam", "host_adam"):
         cfg = ExperimentConfig(
             model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=args.dim)),
             train=TrainConfig(
@@ -121,6 +123,12 @@ def main():
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2
             ),
         }
+        if opt_name == "host_adam":
+            # device optimizer bytes are just the per-table slot scalars;
+            # the moments live in host DRAM (embedding/host_offload.py)
+            results["optimizers"][opt_name]["host_moment_bytes"] = (
+                trainer.host_store.nbytes()
+            )
         del trainer, state, mstate
         print(json.dumps({opt_name: results["optimizers"][opt_name]}), flush=True)
     with open(args.out, "w") as f:

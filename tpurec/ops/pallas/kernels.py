@@ -452,13 +452,18 @@ def _din_bwd_kernel(
 
 def din_attention_bwd_fused(
     query, keys, mask, w1, b1, w2, alpha, gp, gs,
-    block_b: int = 64, interpret: bool = False,
+    block_b: int = 32, interpret: bool = False,
 ):
     """Pallas DIN-attention backward. Returns (dq, dkeys, dw1, db1, dw2,
-    dalpha) in fp32; mask gets no gradient."""
+    dalpha) in fp32; mask gets no gradient.
+
+    block_b caps at 32: the (Bt·L, H) recompute intermediates pad H to the
+    128-lane tile, so at bb=64/L=64 the kernel's scoped VMEM is ~20 MB —
+    past the 16 MB Mosaic stack limit (measured compile failure on v5e);
+    bb=32 keeps it ~10 MB."""
     b, l, d = keys.shape
     h = w1.shape[1]
-    bb = min(block_b, _round_up(b, 8))
+    bb = min(block_b, 32, _round_up(b, 8))
     b_pad = _round_up(b, bb)
     if b_pad != b:
         query = jnp.pad(query, ((0, b_pad - b), (0, 0)))
@@ -527,7 +532,7 @@ def _din_bwd(block_b, interpret, res, g):
         alpha.astype(jnp.float32),
         gp,
         gs,
-        block_b=min(block_b, 64),
+        block_b=min(block_b, 32),
         interpret=interpret,
     )
     if jnp.issubdtype(mask.dtype, jnp.floating):

@@ -19,6 +19,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
@@ -114,6 +115,7 @@ class Trainer:
         self.metrics = self._make_metrics()
         self._train_step = None
         self._eval_step = None
+        self.host_store = None  # set by init_state for embedding_optimizer='host_adam'
         self.ckpt = (
             ckpt_lib.CheckpointManager(config.train.checkpoint_dir, config.train.max_to_keep)
             if config.train.checkpoint_dir
@@ -341,16 +343,40 @@ class Trainer:
                 init_sparse_row_adam,
             )
 
-            init_opt = {
-                "rowwise_adagrad": init_sparse_adagrad,
-                "rowwise_adam": init_sparse_row_adam,
-                "adam": init_sparse_adam,
-                # fused_adam: dense-parity moments, updated by the Pallas
-                # tile-stream kernel (same state shape as 'adam')
-                "fused_adam": init_sparse_adam,
-            }[self.config.train.optimizer.embedding_optimizer]
             tables = model_state.pop("tables")
-            table_opt = jax.tree.map(init_opt, tables)
+            opt_name = self.config.train.optimizer.embedding_optimizer
+            if opt_name == "host_adam":
+                # moments live in host DRAM (embedding/host_offload.py);
+                # device state is just a slot index per table
+                from tpurec.embedding.host_offload import (
+                    HostAdamState,
+                    HostAdamStore,
+                )
+
+                if self.mesh_ctx.n_devices > 1:
+                    raise ValueError(
+                        "embedding_optimizer='host_adam' requires a single "
+                        "device (per-shard host callbacks are not wired yet)"
+                    )
+                self.host_store = HostAdamStore()
+                leaves, treedef = jax.tree_util.tree_flatten(tables)
+                table_opt = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        HostAdamState(jnp.int32(self.host_store.register(l.shape)))
+                        for l in leaves
+                    ],
+                )
+            else:
+                init_opt = {
+                    "rowwise_adagrad": init_sparse_adagrad,
+                    "rowwise_adam": init_sparse_row_adam,
+                    "adam": init_sparse_adam,
+                    # fused_adam: dense-parity moments, updated by the Pallas
+                    # tile-stream kernel (same state shape as 'adam')
+                    "fused_adam": init_sparse_adam,
+                }[opt_name]
+                table_opt = jax.tree.map(init_opt, tables)
         opt_state = self.tx.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -402,6 +428,7 @@ class Trainer:
         return list(self.info.feature_names) + seqs + [f"neg_{s}" for s in seqs]
 
     def _build_sparse_train_step(self) -> Callable:
+        from tpurec.embedding.host_offload import HostAdamState
         from tpurec.embedding.sparse import (
             SparseAdagradState,
             SparseAdamState,
@@ -412,6 +439,7 @@ class Trainer:
             unique_with_positions,
         )
 
+        host_store = getattr(self, "host_store", None)
         model = self.model
         tx = self.tx
         loss_fn = self.loss_fn
@@ -486,12 +514,22 @@ class Trainer:
             flat_opt = jax.tree_util.tree_flatten(
                 state.table_opt,
                 is_leaf=lambda x: isinstance(
-                    x, (SparseAdamState, SparseAdagradState, SparseRowAdamState)
+                    x,
+                    (
+                        SparseAdamState,
+                        SparseAdagradState,
+                        SparseRowAdamState,
+                        HostAdamState,
+                    ),
                 ),
             )[0]
             new_tables, new_opts = [], []
             for t, g, o in zip(flat_tables, flat_grads, flat_opt):
-                if isinstance(o, SparseAdagradState):
+                if isinstance(o, HostAdamState):
+                    nt, no = host_store.update(
+                        t, o, uniq, g, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps
+                    )
+                elif isinstance(o, SparseAdagradState):
                     nt, no = sparse_rowwise_adagrad(t, o, uniq, g, oc.learning_rate)
                 elif isinstance(o, SparseRowAdamState):
                     nt, no = sparse_rowwise_adam(
@@ -962,9 +1000,25 @@ class Trainer:
 
     def save(self, state: TrainState) -> None:
         self.ckpt.save(int(state.step), self._state_tree(state))
+        store = getattr(self, "host_store", None)
+        if store is not None:
+            # host-offloaded moments live outside the jit state tree; persist
+            # a step-stamped sidecar next to the Orbax checkpoints (not
+            # garbage-collected by max_to_keep — they are small relative to
+            # the tables they serve and trivially prunable)
+            store.save(
+                os.path.join(self.ckpt.directory, f"host_moments_{int(state.step)}.npz")
+            )
 
     def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
         restored = self.ckpt.restore(self._state_tree(state_like), step)
+        store = getattr(self, "host_store", None)
+        if store is not None:
+            sidecar = os.path.join(
+                self.ckpt.directory, f"host_moments_{int(restored['step'])}.npz"
+            )
+            if os.path.exists(sidecar):
+                store.load(sidecar)
         return TrainState(
             step=restored["step"],
             params=restored["params"],
