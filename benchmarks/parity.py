@@ -443,11 +443,21 @@ def main():
         info = SequenceDataGenerator(os.path.join(sroot, "gen"), raw["events_path"], max_seq_length=30).run_all()
         train = load_columnar(shard_paths(os.path.join(sroot, "gen"), "train"))
         test = load_columnar(shard_paths(os.path.join(sroot, "gen"), "test"))
+        # recipes from benchmarks/retrieval_sweep.py (r3): the cosine-logit
+        # head (normalize_logits — L2-norm + learned temperature, the DSSM
+        # fix) lifted MIND recall@20 0.031→0.043 / recall@100 0.1385→0.1805;
+        # sampled softmax measurably HURT on this corpus (0.0265), so both
+        # stay on the in-batch loss. ComiRec's sweep winner remains plain
+        # in-batch (cosine measured 0.037 vs 0.040 there).
+        retrieval_recipes = {
+            "mind": {"normalize_logits": True},
+            "comirec": None,
+        }
         for name in ("mind", "comirec"):
             if name in models:
                 results[name] = bench_retrieval_recall(
                     name, info, train, test, raw, os.path.join(sroot, "gen"),
-                    epochs,
+                    epochs, model_params=retrieval_recipes[name],
                 )
     if "dien" in models:
         # DIEN with the pipeline-sampled negative series feeding the aux loss

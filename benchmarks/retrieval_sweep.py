@@ -68,6 +68,14 @@ def main():
         ("mind", "cos_inbatch_lr005", {"normalize_logits": True}, 0.005, 32, 12),
         ("mind", "cos_inbatch_d64", {"normalize_logits": True}, 0.002, 64, 12),
         ("comirec", "cos_inbatch_d64", {"normalize_logits": True}, 0.002, 64, 12),
+        # round-3c: MIND sits at 0.043/0.1805 with the cosine head (bar:
+        # 0.045/0.18) — push epochs/K; ComiRec didn't take to cosine at
+        # default K, try the dr variant and K=8 with it
+        ("mind", "cos_e18", {"normalize_logits": True}, 0.002, 32, 18),
+        ("mind", "cos_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
+        ("comirec", "cos_dr", {"normalize_logits": True, "variant": "dr"}, 0.002, 32, 12),
+        ("comirec", "cos_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
+        ("comirec", "inbatch_e18", {}, 0.002, 32, 18),
     ]
     for name, suffix, mp, lr, dim, epochs in configs:
         key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}"
