@@ -76,6 +76,15 @@ def main():
         ("comirec", "cos_dr", {"normalize_logits": True, "variant": "dr"}, 0.002, 32, 12),
         ("comirec", "cos_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
         ("comirec", "inbatch_e18", {}, 0.002, 32, 18),
+        # round-3d: accidental-hit masking landed in losses.in_batch_softmax
+        # (false-negative duplicates ~30%/batch at this corpus size) — fresh
+        # keys so the masked loss is measured side by side
+        ("mind", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
+        ("mind", "cosmask_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
+        ("comirec", "mask_inbatch", {}, 0.002, 32, 12),
+        ("comirec", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
+        ("sdm", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
+        ("sine", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
     ]
     for name, suffix, mp, lr, dim, epochs in configs:
         key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}"

@@ -60,7 +60,16 @@ def in_batch_softmax(outputs, batch):
     If the model emitted 'logits' (B, 1+N) the positive is column 0
     (reference convention, 6.MIND/CustomLayers.py:252-261); otherwise logits
     are built from the tower embeddings with in-batch negatives (diagonal
-    positive)."""
+    positive).
+
+    Accidental-hit removal: when the batch carries an 'item_id' column,
+    off-diagonal entries whose item equals row i's positive are masked out —
+    they are FALSE negatives (the same item another user also clicked), the
+    in-batch analogue of tf.nn.sampled_softmax_loss's remove_accidental_hits
+    (the sampler the reference trains MIND/ComiRec with,
+    6.MIND/CustomLayers.py:853-863). At small corpora the duplicate rate is
+    large (e.g. ~30% at B=512 over 1.5k items) and unmasked duplicates
+    actively push clicked items apart."""
     if "logits" in outputs:
         logits = outputs["logits"].astype(jnp.float32)
         labels = jnp.zeros(logits.shape[0], dtype=jnp.int32)  # column 0 positive
@@ -68,7 +77,13 @@ def in_batch_softmax(outputs, batch):
         u = outputs["user_embedding"].astype(jnp.float32)
         v = outputs["item_embedding"].astype(jnp.float32)
         logits = u @ v.T
-        labels = jnp.arange(logits.shape[0])
+        b = logits.shape[0]
+        labels = jnp.arange(b)
+        ids = batch.get("item_id")
+        if ids is not None:
+            ids = ids.reshape(-1)
+            dup = (ids[:, None] == ids[None, :]) & ~jnp.eye(b, dtype=bool)
+            logits = jnp.where(dup, -1e9, logits)
     loss = jnp.mean(
         optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     )
