@@ -79,7 +79,7 @@ class _RetrievalBase(nn.Module):
         e = emb(stack_ids(inputs, list(self.user_features)))
         return e.reshape(e.shape[0], -1)
 
-    def _finalize(self, out: Outputs, emb, train: bool) -> Outputs:
+    def _finalize(self, out: Outputs, emb, train: bool, inputs: Inputs = None) -> Outputs:
         """Shared output post-pass: optional cosine-logit normalization
         (normalize_logits) + optional sampled-negative logits
         (num_sampled_negatives). Every _RetrievalBase model returns through
@@ -107,13 +107,18 @@ class _RetrievalBase(nn.Module):
             out["output"] = jnp.sum(u * i, axis=-1)
         if train and self.num_sampled_negatives > 0:
             out["logits"] = self._sampled_logits(
-                emb, out["user_embedding"], out["item_embedding"]
+                emb, out["user_embedding"], out["item_embedding"], inputs
             )
         return out
 
-    def _sampled_logits(self, emb, user_vec: jnp.ndarray, target: jnp.ndarray):
+    def _sampled_logits(
+        self, emb, user_vec: jnp.ndarray, target: jnp.ndarray, inputs: Inputs = None
+    ):
         """[pos ∥ N sampled-negative] inner-product logits (see
-        num_sampled_negatives)."""
+        num_sampled_negatives). Accidental hits — a sampled negative whose id
+        tuple equals the row's positive — are masked to -1e9, matching
+        tf.nn.sampled_softmax_loss's default remove_accidental_hits (the
+        sampler the reference trains with, 6.MIND/CustomLayers.py:853-863)."""
         b = user_vec.shape[0]
         n = self.num_sampled_negatives
         f = len(self.query_features)
@@ -136,6 +141,10 @@ class _RetrievalBase(nn.Module):
         u = user_vec.astype(jnp.float32)
         pos = jnp.einsum("bd,bd->b", u, target.astype(jnp.float32))[:, None]
         negs = jnp.einsum("bd,bnd->bn", u, neg_emb.astype(jnp.float32))
+        if inputs is not None:
+            pos_ids = stack_ids(inputs, list(self.query_features))  # (B, F)
+            hit = jnp.all(neg_ids == pos_ids[:, None, :], axis=-1)  # (B, N)
+            negs = jnp.where(hit, -1e9, negs)
         return jnp.concatenate([pos, negs], axis=-1)
 
 
@@ -178,7 +187,7 @@ class MIND(_RetrievalBase):
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
-        return self._finalize(out, emb, train)
+        return self._finalize(out, emb, train, inputs)
 
 
 def _attn_pool(user_q: jnp.ndarray, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
@@ -271,7 +280,7 @@ class SDM(_RetrievalBase):
                 user_vec.astype(jnp.float32) * target.astype(jnp.float32), axis=-1
             ),
         }
-        return self._finalize(out, emb, train)
+        return self._finalize(out, emb, train, inputs)
 
 
 class ComiRec(_RetrievalBase):
@@ -306,10 +315,17 @@ class ComiRec(_RetrievalBase):
             capsules = jnp.einsum("blk,bld->bkd", a.astype(behavior.dtype), behavior)
             cap_mask = jnp.ones((b, self.num_interests), jnp.float32)
         target = self._target(emb, inputs)
-        # hard capsule selection by inner product with the target
-        scores = jnp.einsum(
-            "bkd,bd->bk", capsules.astype(jnp.float32), target.astype(jnp.float32)
-        )
+        # hard capsule selection by inner product with the target; under the
+        # cosine head (normalize_logits) select by COSINE instead so training
+        # selection and the normalized serving geometry agree — with unequal
+        # capsule norms the raw argmax can pick a capsule other than the
+        # max-cosine one that _finalize later serves
+        sel_caps = capsules.astype(jnp.float32)
+        if self.normalize_logits:
+            sel_caps = sel_caps / (
+                jnp.linalg.norm(sel_caps, axis=-1, keepdims=True) + 1e-6
+            )
+        scores = jnp.einsum("bkd,bd->bk", sel_caps, target.astype(jnp.float32))
         scores = jnp.where(cap_mask.astype(bool), scores, -1e9)
         best = jnp.argmax(scores, axis=-1)
         user_vec = jnp.take_along_axis(capsules, best[:, None, None], axis=1)[:, 0]
@@ -320,7 +336,7 @@ class ComiRec(_RetrievalBase):
             "capsule_mask": cap_mask,
             "output": jnp.max(scores, axis=-1),
         }
-        return self._finalize(out, emb, train)
+        return self._finalize(out, emb, train, inputs)
 
 
 def greedy_diverse_topk(
@@ -422,4 +438,4 @@ class SINE(_RetrievalBase):
             cov = (p.T @ p) / self.pool_size
             off_diag = cov - jnp.diag(jnp.diag(cov))
             out["auxiliary_loss"] = self.cov_weight * 0.5 * jnp.sum(jnp.square(off_diag))
-        return self._finalize(out, emb, train)
+        return self._finalize(out, emb, train, inputs)

@@ -36,6 +36,9 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        return list(self._mgr.all_steps())
+
     def restore(self, tree_like: Any, step: Optional[int] = None) -> Any:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:

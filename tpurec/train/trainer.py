@@ -1003,12 +1003,27 @@ class Trainer:
         store = getattr(self, "host_store", None)
         if store is not None:
             # host-offloaded moments live outside the jit state tree; persist
-            # a step-stamped sidecar next to the Orbax checkpoints (not
-            # garbage-collected by max_to_keep — they are small relative to
-            # the tables they serve and trivially prunable)
+            # a step-stamped sidecar next to the Orbax checkpoints. Each
+            # sidecar is 2·V·D fp32 (~2x the fp32 table it serves), so prune
+            # sidecars whose step Orbax has already garbage-collected — the
+            # giant-table use case host_adam targets cannot afford them to
+            # accumulate unboundedly.
             store.save(
                 os.path.join(self.ckpt.directory, f"host_moments_{int(state.step)}.npz")
             )
+            kept = set(self.ckpt.all_steps())
+            import glob as _glob
+            import re as _re
+
+            for path in _glob.glob(
+                os.path.join(self.ckpt.directory, "host_moments_*.npz")
+            ):
+                m = _re.match(r"host_moments_(\d+)\.npz$", os.path.basename(path))
+                if m and int(m.group(1)) not in kept:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
 
     def restore(self, state_like: TrainState, step: Optional[int] = None) -> TrainState:
         restored = self.ckpt.restore(self._state_tree(state_like), step)
@@ -1019,6 +1034,18 @@ class Trainer:
             )
             if os.path.exists(sidecar):
                 store.load(sidecar)
+            else:
+                # resuming at a large step with zeroed moments transiently
+                # inflates the effective Adam LR (~1/(1-beta1) on the first
+                # steps) — never do it silently
+                import warnings
+
+                warnings.warn(
+                    f"host_adam sidecar missing for step {int(restored['step'])} "
+                    f"({sidecar}); resuming with ZEROED moments — expect a "
+                    "transient effective-LR overshoot on the first resumed steps",
+                    stacklevel=2,
+                )
         return TrainState(
             step=restored["step"],
             params=restored["params"],
