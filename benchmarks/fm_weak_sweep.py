@@ -26,7 +26,7 @@ OUT = os.path.join(os.path.dirname(__file__), "fm_weak_sweep.json")
 
 def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
             trials=4, opt="adam", schedule="", schedule_alpha=0.0, l2_w=-1.0,
-            init_scale=0.05, l2_ids=-1.0):
+            init_scale=0.05, l2_ids=-1.0, l2_cross=-1.0, cross=False):
     from tpurec.config import (
         EarlyStopConfig,
         EmbeddingConfig,
@@ -55,9 +55,10 @@ def run_one(info, train, test, *, lr, batch, emb_l2, used_l2, dim, epochs,
                 learning_rate=lr,
                 embedding_l2=emb_l2,
                 embedding_l2_order1=l2_w,
-                embedding_l2_overrides=(
-                    {"uid": l2_ids, "iid": l2_ids} if l2_ids >= 0 else {}
-                ),
+                embedding_l2_overrides={
+                    **({"uid": l2_ids, "iid": l2_ids} if l2_ids >= 0 else {}),
+                    **({"utag1_x_itag1": l2_cross} if l2_cross >= 0 else {}),
+                },
                 lr_schedule=schedule,
                 schedule_steps=(epochs * (480_000 // batch)) if schedule else 0,
                 schedule_alpha=schedule_alpha,
@@ -92,6 +93,14 @@ def main():
     info = RankingTableGenerator(os.path.join(root, "gen"), raw["main_path"]).run_all()
     train = load_columnar(shard_paths(os.path.join(root, "gen"), "train"))
     test = load_columnar(shard_paths(os.path.join(root, "gen"), "test"))
+    # crossed variant: explicit utag1×itag1 crossed column (the feature the
+    # 0.58829 ridge probe had and FM's factorized dot could not recover)
+    info_x = RankingTableGenerator(
+        os.path.join(root, "genx"), raw["main_path"],
+        cross_columns=[("utag1", "itag1")],
+    ).run_all()
+    train_x = load_columnar(shard_paths(os.path.join(root, "genx"), "train"))
+    test_x = load_columnar(shard_paths(os.path.join(root, "genx"), "test"))
     results = {
         "_oracles": {
             "oracle_auc": float(orc["oracle_auc"]),
@@ -172,6 +181,19 @@ def main():
              l2_w=4e-5, trials=6),
         dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
              l2_w=2.5e-5, trials=6),
+        # round 7 (r4): explicit utag1×itag1 crossed column (the exact
+        # feature the 0.58829 ridge probe had) on the sweep-winning
+        # per-order-L2 recipe; l2_cross crushes the cross id's INTERACTION
+        # vectors (pure noise — the planted effect is additive in the cross
+        # id) while its order-1 weight stays at the probe's ridge strength
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=4e-5, trials=6, cross=True),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=4e-5, trials=6, cross=True, l2_cross=3e-3),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=7e-5, trials=6, cross=True, l2_cross=3e-3, schedule="cosine"),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
+             l2_w=4e-5, trials=6, cross=True, l2_cross=3e-3, l2_ids=3e-3),
     ]
     for c in configs:
         key = (
@@ -181,12 +203,15 @@ def main():
             + (f"_lw{c['l2_w']}" if c.get("l2_w", -1.0) >= 0 else "")
             + (f"_is{c['init_scale']}" if c.get("init_scale", 0.05) != 0.05 else "")
             + (f"_ids{c['l2_ids']}" if c.get("l2_ids", -1.0) >= 0 else "")
+            + ("_cross" if c.get("cross") else "")
+            + (f"_lx{c['l2_cross']}" if c.get("l2_cross", -1.0) >= 0 else "")
         )
         if key in results:
             print(f"skip {key} (done)", flush=True)
             continue
         print(f"running {key}", flush=True)
-        results[key] = run_one(info, train, test, **c)
+        data = (info_x, train_x, test_x) if c.get("cross") else (info, train, test)
+        results[key] = run_one(*data, **c)
         print(json.dumps({key: results[key]}), flush=True)
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)

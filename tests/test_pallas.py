@@ -273,3 +273,27 @@ class TestCapsuleRoutingKernel:
         )(behavior, s)
         for x, y in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)
+
+    def test_gradients_logits0_and_padding(self):
+        """Fused-backward dl0 parity (the softmax-chain cotangent) plus the
+        block-padding path (b=9 not a multiple of block_b)."""
+        from tpurec.ops.pallas.kernels import (
+            capsule_routing_fused,
+            capsule_routing_reference,
+        )
+
+        behavior, mask, s, logits0 = self._data(b=9, l=6, d=4, e=4)
+        g1 = jax.grad(
+            lambda beh, ss, l0: jnp.sum(
+                jnp.cos(capsule_routing_fused(beh, mask, ss, l0, num_iters=3, interpret=True))
+            ),
+            argnums=(0, 1, 2),
+        )(behavior, s, logits0)
+        g2 = jax.grad(
+            lambda beh, ss, l0: jnp.sum(
+                jnp.cos(capsule_routing_reference(beh, mask, ss, l0, num_iters=3))
+            ),
+            argnums=(0, 1, 2),
+        )(behavior, s, logits0)
+        for x, y in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5)

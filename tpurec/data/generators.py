@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -146,6 +146,15 @@ class RankingTableGenerator:
     reference derives them, 4.MMOE/DataGenerator.py:114-116), and a binary
     label column. Categoricals are offset label-encoded into the shared id
     space; the timestamp percentile splits train/test like the ch.2 pipeline.
+
+    ``cross_columns`` synthesizes explicit crossed categorical features
+    (Wide&Deep-style crossed_column): for each (a, b) pair a new column
+    ``a_x_b`` holds the joint value "va|vb", label-encoded into the shared id
+    space like any other categorical. Crossed ids give order-1 weights (and
+    embeddings) direct access to pair-specific effects that a factorized
+    dot-product can only approximate — the lever that closes the fm_weak gap
+    to the ridge-probe ceiling (benchmarks/fm_weak_sweep.json, probe 0.58829
+    WITH an explicit utag1×itag1 cross vs 0.5862 without).
     """
 
     def __init__(
@@ -156,6 +165,7 @@ class RankingTableGenerator:
         timestamp_column: str = "timestamp",
         split_percentile: float = 80.0,
         records_per_file: int = 200_000,
+        cross_columns: Sequence[Tuple[str, str]] = (),
     ):
         self.output_path = output_path
         self.main_path = main_path
@@ -163,12 +173,15 @@ class RankingTableGenerator:
         self.timestamp_column = timestamp_column
         self.split_percentile = split_percentile
         self.records_per_file = records_per_file
+        self.cross_columns = list(cross_columns)
         self.encoder: Optional[FeatureEncoder] = None
         self.info: Optional[DataInfo] = None
 
     def run_all(self) -> DataInfo:
         _clean_dir(self.output_path)
         df = pd.read_csv(self.main_path)
+        for a, b in self.cross_columns:
+            df[f"{a}_x_{b}"] = df[a].astype(str) + "|" + df[b].astype(str)
         special = {self.timestamp_column, self.label_name}
         origin_cols = [c for c in df.columns if c.endswith("_origin")]
         cat_cols = [
@@ -190,8 +203,13 @@ class RankingTableGenerator:
             cont_names += [c, f"{stem}_square", f"{stem}_cube"]
         self.info.continuous_names = cont_names
         self.info.label_names = ["label"]
-        self.info.user_features = [c for c in cat_cols if c.startswith("u")]
-        self.info.item_features = [c for c in cat_cols if c.startswith("i")]
+        crossed = {f"{a}_x_{b}" for a, b in self.cross_columns}
+        self.info.user_features = [
+            c for c in cat_cols if c.startswith("u") and c not in crossed
+        ]
+        self.info.item_features = [
+            c for c in cat_cols if c.startswith("i") and c not in crossed
+        ]
         encoded["label"] = df[self.label_name].to_numpy(np.float32)
         threshold = np.percentile(df[self.timestamp_column], self.split_percentile)
         is_test = df[self.timestamp_column].to_numpy() >= threshold

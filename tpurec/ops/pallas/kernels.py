@@ -782,6 +782,137 @@ def capsule_routing_fused(
     return out[:b].astype(behavior.dtype)
 
 
+def _capsule_bwd_kernel(
+    num_iters, beh_ref, m_ref, s_ref, l0_ref, g_ref, db_ref, dl0_ref, ds_ref
+):
+    """Fused routing backward: recompute the forward entirely in VMEM (u_hat
+    plus the tiny per-iteration (K,L)/(K,E) stashes), then one reverse sweep
+    through the routing recurrence. Gradient structure (matches
+    capsule_routing_reference's stop-gradient placement): behavior/S get
+    cotangents ONLY through the last iteration's live z = w·u_hat; logits0
+    gets the full softmax-chain cotangent."""
+    f32 = jnp.float32
+    beh = beh_ref[:].astype(f32)  # (Bt, L, D)
+    mask = m_ref[:].astype(f32)  # (Bt, L)
+    s = s_ref[:].astype(f32)  # (D, E)
+    g = g_ref[:].astype(f32)  # (Bt, K, E)
+    bt, l, d = beh.shape
+    u = jnp.dot(beh.reshape(bt * l, d), s, preferred_element_type=f32).reshape(
+        bt, l, -1
+    )  # (Bt, L, E)
+    neg = -1e9 * (1.0 - mask)[:, None, :]
+    # ---- forward recompute, stashing per-iteration p/w/z (all VMEM-tiny)
+    logits = l0_ref[:].astype(f32)  # (Bt, K, L)
+    ps, ws, zs = [], [], []
+    for it in range(num_iters):  # static unroll
+        p = jax.nn.softmax(logits + neg, axis=1)
+        w = p * mask[:, None, :]
+        z = jax.lax.dot_general(
+            w, u, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (Bt, K, E)
+        ps.append(p)
+        ws.append(w)
+        zs.append(z)
+        if it < num_iters - 1:
+            sq = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+            caps = (sq / (1.0 + sq)) * z * jax.lax.rsqrt(sq + 1e-9)
+            logits = logits + jax.lax.dot_general(
+                caps, u, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+            )
+
+    def squash_vjp(gc, z):
+        # caps = a(sq)·z with a = sq/((1+sq)·sqrt(sq+eps));
+        # dz = a·gc + 2z·a'(sq)·(gc·z), a' = rsqrt/(1+sq) − a/(1+sq) − a/(2(sq+eps))
+        sq = jnp.sum(jnp.square(z), axis=-1, keepdims=True)
+        rs = jax.lax.rsqrt(sq + 1e-9)
+        a = (sq / (1.0 + sq)) * rs
+        ap = rs / (1.0 + sq) - a / (1.0 + sq) - a / (2.0 * (sq + 1e-9))
+        gz = jnp.sum(gc * z, axis=-1, keepdims=True)
+        return a * gc + 2.0 * z * ap * gz
+
+    def softmax_vjp(dw, p):
+        # w = softmax(logits+neg, axis=1)·mask; neg/mask are constants
+        dp = dw * mask[:, None, :]
+        return p * (dp - jnp.sum(p * dp, axis=1, keepdims=True))
+
+    # ---- reverse sweep
+    dz = squash_vjp(g, zs[-1])
+    # z_last = w_last·u with LIVE u — the only path into behavior/S
+    du = jax.lax.dot_general(
+        ws[-1], dz, (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (Bt, L, E) = Σ_k w[bkl]·dz[bke]
+    dw = jax.lax.dot_general(
+        dz, u, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (Bt, K, L)
+    dlog = softmax_vjp(dw, ps[-1])
+    for it in range(num_iters - 2, -1, -1):
+        # logits_{it+1} = logits_it + caps_it·uᵀ (u stop-grad)
+        dcaps = jax.lax.dot_general(
+            dlog, u, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (Bt, K, E)
+        dz_i = squash_vjp(dcaps, zs[it])
+        dw_i = jax.lax.dot_general(
+            dz_i, u, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        dlog = dlog + softmax_vjp(dw_i, ps[it])
+    dl0_ref[:] = dlog
+    db_ref[:] = jnp.dot(
+        du.reshape(bt * l, -1), s.T, preferred_element_type=f32
+    ).reshape(bt, l, d)
+    ds_c = jax.lax.dot_general(
+        beh.reshape(bt * l, d), du.reshape(bt * l, -1),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )  # (D, E)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ds_ref[:] = ds_c
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        ds_ref[:] += ds_c
+
+
+def capsule_routing_bwd_fused(
+    behavior, mask, s, logits0, g, num_iters: int = 3,
+    block_b: int = 32, interpret: bool = False,
+):
+    """Pallas routing backward. Returns (dbehavior, ds, dlogits0) in fp32."""
+    b, l, d = behavior.shape
+    k = logits0.shape[1]
+    e = s.shape[1]
+    bb = min(block_b, _round_up(b, 8))
+    b_pad = _round_up(b, bb)
+    if b_pad != b:
+        behavior = jnp.pad(behavior, ((0, b_pad - b), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad - b), (0, 0)))
+        logits0 = jnp.pad(logits0, ((0, b_pad - b), (0, 0), (0, 0)))
+        g = jnp.pad(g, ((0, b_pad - b), (0, 0), (0, 0)))
+    db, dl0, ds = pl.pallas_call(
+        functools.partial(_capsule_bwd_kernel, num_iters),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k, l), jnp.float32),
+            jax.ShapeDtypeStruct((d, e), jnp.float32),
+        ),
+        grid=(b_pad // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, e), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, k, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, k, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, k, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, e), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(behavior, mask, s, logits0, g)
+    return db[:b], ds, dl0[:b]
+
+
 def _capsule_fwd(behavior, mask, s, logits0, num_iters, block_b, interpret):
     out = capsule_routing_fused(behavior, mask, s, logits0, num_iters, block_b, interpret)
     return out, (behavior, mask, s, logits0)
@@ -789,13 +920,14 @@ def _capsule_fwd(behavior, mask, s, logits0, num_iters, block_b, interpret):
 
 def _capsule_bwd(num_iters, block_b, interpret, res, g):
     behavior, mask, s, logits0 = res
-    _, vjp = jax.vjp(
-        lambda beh, ss, l0: capsule_routing_reference(beh, mask, ss, l0, num_iters),
+    db, ds, dl0 = capsule_routing_bwd_fused(
         behavior.astype(jnp.float32),
+        mask.astype(jnp.float32),
         s.astype(jnp.float32),
         logits0.astype(jnp.float32),
+        g.astype(jnp.float32),
+        num_iters, block_b, interpret,
     )
-    db, ds, dl0 = vjp(g.astype(jnp.float32))
     return db, None, ds, dl0
 
 
