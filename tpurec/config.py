@@ -128,7 +128,12 @@ class OptimizerConfig(_Base):
     # O(2*V*D) moment memory) | 'rowwise_adagrad' (one fp32 accumulator per
     # row, O(V) optimizer memory - the production-embedding trade) |
     # 'rowwise_adam' (bf16 momentum + one fp32 second-moment scalar per row,
-    # ~0.53x of one table's memory vs Adam's 2x, Adam-style adaptivity)
+    # ~0.53x of one table's memory vs Adam's 2x, Adam-style adaptivity) |
+    # 'fused_adam' (Pallas tile-stream engine, exact dense-Adam math) |
+    # 'host_adam' (moments in host DRAM) | 'auto' (the Trainer picks dense
+    # XLA vs the fused engine from vocab size and ids/step — measured v5e
+    # crossovers, tpurec.train.trainer.resolve_embedding_engine; 'auto' also
+    # decides TrainConfig.sparse_embedding, overriding the flag)
     embedding_optimizer: str = "adam"
 
 

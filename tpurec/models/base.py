@@ -56,13 +56,26 @@ def sequence_mask(seq_ids: Array, padding_index: int = 0) -> Array:
     return (seq_ids != padding_index).astype(jnp.float32)
 
 
+def series_mask(inputs: Inputs, name: str, padding_index: int = 0) -> Array:
+    """(B, L) validity mask for the behavior series ``name``.
+
+    Prefers a trainer-provided ``__mask__<name>`` override: the fused sparse
+    engine rewrites every id column into row-position space (identity aranges,
+    Trainer._build_fused_train_step), which destroys the padding-index
+    sentinel — the trainer ships the original mask alongside instead. Without
+    an override this is the plain padding-index mask."""
+    m = inputs.get(f"__mask__{name}") if hasattr(inputs, "get") else None
+    if m is not None:
+        return m.astype(jnp.float32)
+    return sequence_mask(inputs[name], padding_index)
+
+
 def embed_series(emb, inputs: Inputs, names: Sequence[str], padding_index: int = 0):
     """Concat-embed parallel behavior series into one (B, L, F·D) block with
     the (B, L) mask from the first series (all series are aligned per event —
     the reference stacks its behavior_series_features the same way,
     6.MIND/CustomLayers.py:199-240, 5.DIN/CustomLayers.py:258-263)."""
-    seqs = [inputs[n] for n in names]
-    mask = sequence_mask(seqs[0], padding_index)
-    embs = [emb(s) for s in seqs]  # each (B, L, D)
+    mask = series_mask(inputs, names[0], padding_index)
+    embs = [emb(inputs[n]) for n in names]  # each (B, L, D)
     keys = jnp.concatenate(embs, axis=-1) if len(embs) > 1 else embs[0]
     return keys, mask

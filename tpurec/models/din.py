@@ -18,7 +18,7 @@ from jax.sharding import Mesh
 
 from tpurec.core.mesh import MODEL_AXIS
 from tpurec.embedding.modules import SharedEmbedding
-from tpurec.models.base import Inputs, Outputs, binary_output, sequence_mask, stack_ids
+from tpurec.models.base import Inputs, Outputs, binary_output, series_mask, stack_ids
 from tpurec.ops.attention import DinTargetAttention, MultiHeadAttention
 from tpurec.ops.mlp import MLP
 from tpurec.ops.sequence import (
@@ -58,9 +58,8 @@ class _SeqBase(nn.Module):
 
     def _keys(self, emb, inputs):
         """(B, L, Fs*D) behavior embeddings + (B, L) mask."""
-        seqs = [inputs[n] for n in self.sequence_features]
-        mask = sequence_mask(seqs[0], self.padding_index)
-        embs = [emb(s) for s in seqs]  # each (B, L, D)
+        mask = series_mask(inputs, self.sequence_features[0], self.padding_index)
+        embs = [emb(inputs[n]) for n in self.sequence_features]  # each (B, L, D)
         keys = jnp.concatenate(embs, axis=-1) if len(embs) > 1 else embs[0]
         return keys, mask
 

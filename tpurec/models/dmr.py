@@ -29,7 +29,7 @@ from tpurec.models.base import (
     Outputs,
     binary_output,
     embed_series,
-    sequence_mask,
+    series_mask,
     stack_ids,
 )
 from tpurec.ops.attention import MultiHeadAttention
@@ -177,7 +177,7 @@ class DMT(nn.Module):
         channel_outs = []
         for si, sname in enumerate(self.sequence_features):
             seq_ids = inputs[sname]
-            mask = sequence_mask(seq_ids, self.padding_index)
+            mask = series_mask(inputs, sname, self.padding_index)
             keys = emb(seq_ids)
             l, d = keys.shape[1], keys.shape[2]
             pos = LearnedPositionEmbedding(l, d, dtype=self.dtype, name=f"pos_{si}")(l)

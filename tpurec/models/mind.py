@@ -339,39 +339,10 @@ class ComiRec(_RetrievalBase):
         return self._finalize(out, emb, train, inputs)
 
 
-def greedy_diverse_topk(
-    capsule_scores: jnp.ndarray,  # (K, N) per-interest item scores
-    item_categories: jnp.ndarray,  # (N,) int category per item
-    k: int,
-    diversity_weight: float = 0.1,
-) -> jnp.ndarray:
-    """ComiRec aggregate-diversity greedy inference
-    (reference greedy_search_inference / _parallel,
-    6.MIND/CustomLayers.py:868-963): iteratively pick the item maximizing
-    score + λ·(category novelty). Vectorized over a fixed K·N score grid with
-    a lax.fori loop; returns (k,) item indices."""
-    n = capsule_scores.shape[1]
-    flat = jnp.max(capsule_scores, axis=0)  # best capsule score per item
-
-    def body(i, carry):
-        chosen, chosen_cats, taken = carry
-        # an item's category is "seen" if any already-chosen item shares it
-        seen = jnp.any(
-            item_categories[None, :] == chosen_cats[:, None], axis=0
-        )
-        objective = flat + diversity_weight * (1.0 - seen.astype(jnp.float32))
-        objective = jnp.where(taken, -jnp.inf, objective)
-        pick = jnp.argmax(objective)
-        chosen = chosen.at[i].set(pick.astype(jnp.int32))
-        chosen_cats = chosen_cats.at[i].set(item_categories[pick])
-        taken = taken.at[pick].set(True)
-        return chosen, chosen_cats, taken
-
-    chosen = jnp.full((k,), -1, jnp.int32)
-    chosen_cats = jnp.full((k,), -1, item_categories.dtype)
-    taken = jnp.zeros((n,), bool)
-    chosen, _, _ = jax.lax.fori_loop(0, k, body, (chosen, chosen_cats, taken))
-    return chosen
+# ComiRec's aggregate-diversity greedy inference lives with the serving layer
+# (tpurec/serving/diversity.py — reference greedy_search_inference/_parallel,
+# 6.MIND/CustomLayers.py:868-963); re-exported here for model-side callers.
+from tpurec.serving.diversity import greedy_diverse_topk  # noqa: E402,F401
 
 
 class SINE(_RetrievalBase):

@@ -106,17 +106,26 @@ class OfflineIndexer:
 
     def _embed_all(self, tower, profile, feature_names) -> Tuple[List[str], np.ndarray]:
         ids = list(profile.keys())
-        feats = np.asarray([profile[i] for i in ids], np.int64)  # (N, F)
+        rows = [profile[i] for i in ids]
+        # columnwise so a feature may be a scalar id OR a sequence (e.g. a
+        # stored behavior history for multi-interest user towers)
+        cols = [
+            np.asarray([r[j] for r in rows], np.int64)
+            for j in range(len(feature_names))
+        ]
         out: List[np.ndarray] = []
         bs = self.batch_size
         for start in range(0, len(ids), bs):
-            chunk = feats[start : start + bs]
-            pad = bs - len(chunk) if start > 0 and len(chunk) < bs else 0
+            chunks = [c[start : start + bs] for c in cols]
+            n = len(chunks[0])
+            pad = bs - n if start > 0 and n < bs else 0
             if pad:
-                chunk = np.concatenate([chunk, np.tile(chunk[-1:], (pad, 1))])
+                chunks = [
+                    np.concatenate([c, np.tile(c[-1:], (pad,) + (1,) * (c.ndim - 1))])
+                    for c in chunks
+                ]
             batch = {
-                name: jnp.asarray(chunk[:, j])
-                for j, name in enumerate(feature_names)
+                name: jnp.asarray(chunks[j]) for j, name in enumerate(feature_names)
             }
             emb = np.asarray(tower(batch))
             if pad:
@@ -130,7 +139,14 @@ class OfflineIndexer:
         kv_store: Optional[DictKVStore] = None,
         topk: int = 20,
         key_prefix: str = "DSSM",
+        item_categories: Optional[Sequence[int]] = None,
+        diversity_weight: float = 0.0,
     ) -> Dict[str, object]:
+        """``diversity_weight > 0`` (with per-item ``item_categories``)
+        precomputes ComiRec's diversity-greedy slates instead of plain top-k
+        (reference greedy_search_inference, 6.MIND/CustomLayers.py:868-963);
+        multi-interest user towers returning (B, K, D) capsules are scored by
+        their best capsule either way."""
         user_ids, user_emb = self._embed_all(
             self.user_tower, self.user_profile, self.user_feature_names
         )
@@ -143,7 +159,20 @@ class OfflineIndexer:
             json.dump({u: e.tolist() for u, e in zip(user_ids, user_emb)}, f)
         with open(os.path.join(ebd_dir, "item_embedding.json"), "w") as f:
             json.dump({i: e.tolist() for i, e in zip(item_ids, item_emb)}, f)
-        idx, scores = exact_topk(user_emb, item_emb, min(topk, len(item_ids)))
+        k = min(topk, len(item_ids))
+        if user_emb.ndim == 3 or diversity_weight > 0.0:
+            from tpurec.serving.diversity import diverse_topk
+
+            cats = (
+                np.asarray(item_categories)
+                if item_categories is not None
+                else np.zeros(len(item_ids), np.int32)
+            )
+            idx, scores = diverse_topk(
+                user_emb, item_emb, k, cats, diversity_weight
+            )
+        else:
+            idx, scores = exact_topk(user_emb, item_emb, k)
         kv = kv_store if kv_store is not None else DictKVStore()
         for row, uid in enumerate(user_ids):
             items = ",".join(item_ids[j] for j in idx[row])

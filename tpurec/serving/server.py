@@ -33,7 +33,7 @@ class RecommendService:
 
     def __init__(
         self,
-        user_tower: Optional[Callable] = None,  # dict inputs -> (B, D)
+        user_tower: Optional[Callable] = None,  # dict inputs -> (B, D) or (B, K, D)
         ranker: Optional[Callable] = None,  # dict inputs -> (B,) scores
         user_profile: Optional[Dict[str, List[int]]] = None,
         item_profile: Optional[Dict[str, List[int]]] = None,
@@ -42,6 +42,7 @@ class RecommendService:
         kv_store: Optional[DictKVStore] = None,
         item_ids: Optional[Sequence[str]] = None,
         item_embeddings: Optional[np.ndarray] = None,
+        item_categories: Optional[Sequence[int]] = None,
         key_prefix: str = "DSSM",
     ):
         self.user_tower = user_tower
@@ -58,8 +59,17 @@ class RecommendService:
         # corpus. exact_topk builds a fresh jit closure per call — fine for
         # offline indexing, but per-REQUEST it retraces + recompiles
         # (measured 113 ms p50 on CPU); serving must trace once.
+        # Multi-interest towers return (B, K, D) capsules; plain retrieval
+        # scores every item by its best capsule (max over K), and the
+        # diversity path (request knob "diversity_weight", requires
+        # item_categories) runs ComiRec's greedy slate selection instead
+        # (reference greedy_search_inference, 6.MIND/CustomLayers.py:868-963).
+        self._online_topk = None
+        self._diverse_topk = None
         if item_embeddings is not None:
             import jax
+
+            from tpurec.serving.diversity import greedy_diverse_topk
 
             corpus = jnp.asarray(np.asarray(item_embeddings), jnp.float32)
             corpus = corpus / jnp.maximum(
@@ -69,15 +79,27 @@ class RecommendService:
 
             from functools import partial
 
-            @partial(jax.jit, static_argnums=(1,))
-            def _online_topk(q, k=20):
+            def _capsule_scores(q):
+                # q: (K, D) capsules (K=1 for single-vector towers) → (K, N)
                 q = q.astype(jnp.float32)
                 q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
-                return jax.lax.top_k(q @ corpus.T, k)
+                return q @ corpus.T
+
+            @partial(jax.jit, static_argnums=(1,))
+            def _online_topk(q, k=20):
+                return jax.lax.top_k(jnp.max(_capsule_scores(q), axis=0), k)
 
             self._online_topk = _online_topk
-        else:
-            self._online_topk = None
+            if item_categories is not None:
+                cats = jnp.asarray(np.asarray(item_categories))
+
+                @partial(jax.jit, static_argnums=(1,))
+                def _diverse_topk(q, k, weight):
+                    scores = _capsule_scores(q)
+                    idx = greedy_diverse_topk(scores, cats, k, weight)
+                    return jnp.max(scores, axis=0)[idx], idx
+
+                self._diverse_topk = _diverse_topk
 
     # -- retrieval -----------------------------------------------------------
     def retrieve_kv(self, user_id: str) -> Dict[str, float]:
@@ -90,18 +112,27 @@ class RecommendService:
             i: float(s) for i, s in zip(items.split(","), scores.split(","))
         }
 
-    def retrieve_online(self, user_id: str, topk: int = 20) -> Dict[str, float]:
-        """User tower + exact top-k (reference retrieve_online :53-75)."""
+    def retrieve_online(
+        self, user_id: str, topk: int = 20, diversity_weight: float = 0.0
+    ) -> Dict[str, float]:
+        """User tower + exact top-k (reference retrieve_online :53-75).
+        ``diversity_weight > 0`` (with item_categories configured) switches to
+        ComiRec's diversity-greedy slate; reported scores stay the plain
+        cosine relevance of the chosen items."""
         feats = self.user_profile.get(str(user_id))
         if feats is None or self.item_embeddings is None:
             return {}
         batch = {
             n: jnp.asarray([feats[j]]) for j, n in enumerate(self.user_feature_names)
         }
-        emb = self.user_tower(batch)
-        vals, idx = self._online_topk(emb, topk)
+        emb = jnp.asarray(self.user_tower(batch))
+        q = emb.reshape(-1, emb.shape[-1])  # (K, D); K=1 for (1, D) towers
+        if diversity_weight > 0.0 and self._diverse_topk is not None:
+            vals, idx = self._diverse_topk(q, topk, diversity_weight)
+        else:
+            vals, idx = self._online_topk(q, topk)
         idx, vals = np.asarray(idx), np.asarray(vals)
-        return {self.item_ids[j]: float(s) for j, s in zip(idx[0], vals[0])}
+        return {self.item_ids[j]: float(s) for j, s in zip(idx, vals)}
 
     # -- ranking --------------------------------------------------------------
     def rank(
@@ -144,7 +175,11 @@ class RecommendService:
             if request.get("source") == "kv":
                 result = self.retrieve_kv(user_id)
             else:
-                result = self.retrieve_online(user_id, int(request.get("topk", 20)))
+                result = self.retrieve_online(
+                    user_id,
+                    int(request.get("topk", 20)),
+                    float(request.get("diversity_weight", 0.0)),
+                )
             return {"user_id": user_id, "type": "retrieve", "result": result}
         if rtype == "rank":
             items = request.get("item_ids")

@@ -85,6 +85,52 @@ def _enable_compilation_cache() -> None:
     _CACHE_SET = True
 
 
+# --- measured v5e engine crossovers (bench.py fm_crossover_step_ms) ---------
+# fused tile-stream engine vs dense XLA Adam. FM D=32 B=8192: dense wins at
+# 200k rows, fused wins at 2.08M rows; sequence-heavy steps (DIN: 550k ids vs
+# 21.5k rows) favor fused because XLA's per-row scatter dominates the dense
+# backward. Constants re-tuned whenever bench.py regenerates the crossover.
+FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # V·D above which the dense Adam pass loses
+FUSED_MIN_IDS = 200_000  # ids/step above which the XLA scatter dominates
+
+
+def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: int = 1) -> ExperimentConfig:
+    """embedding_optimizer='auto': pick dense XLA vs the fused Pallas engine
+    from vocab size and ids/step (VERDICT r3 #3 — selection was a manual
+    config knob). Returns a resolved config; 'auto' also decides
+    TrainConfig.sparse_embedding. Falls back to dense whenever the fused
+    engine's restrictions (loss/mesh/padding) apply."""
+    oc = config.train.optimizer
+    if oc.embedding_optimizer != "auto":
+        return config
+    v = info.total_dims
+    d = config.model.embedding.dim
+    ids_per_example = len(info.feature_names) + 2 * len(info.sequence_names) * max(
+        info.max_seq_length, 1
+    )  # ×2: neg_<series> columns ride along when the pipeline emits them
+    n_ids = config.train.batch_size * ids_per_example
+    fused_ok = (
+        config.train.loss != "in_batch_softmax"
+        and n_model == 1
+        and (not info.sequence_names or info.padding_index == 0)
+    )
+    use_fused = fused_ok and (
+        v * d >= FUSED_MIN_VOCAB_ELEMS
+        or (n_ids >= FUSED_MIN_IDS and n_ids > 2 * v)
+    )
+    if use_fused:
+        train = config.train.replace(
+            sparse_embedding=True,
+            optimizer=oc.replace(embedding_optimizer="fused_adam"),
+        )
+    else:
+        train = config.train.replace(
+            sparse_embedding=False,
+            optimizer=oc.replace(embedding_optimizer="adam"),
+        )
+    return config.replace(train=train)
+
+
 class Trainer:
     def __init__(
         self,
@@ -94,9 +140,12 @@ class Trainer:
         model: Optional[nn.Module] = None,
     ):
         _enable_compilation_cache()
-        self.config = config
         self.info = info
         self.mesh_ctx = mesh_ctx or make_mesh(config.mesh)
+        config = resolve_embedding_engine(
+            config, info, self.mesh_ctx.mesh.shape.get("model", 1)
+        )
+        self.config = config
         # trace-time flag (see tpurec.embedding.modules) — set explicitly in
         # BOTH directions so trainers with different modes can coexist; each
         # jitted step body also re-asserts it at trace time
@@ -568,8 +617,10 @@ class Trainer:
         never touching XLA's latency-bound gather/scatter row loops.
 
         Restrictions (falls back is NOT automatic — config error instead):
-        tabular datasets only (no behavior sequences: identity positions
-        would break padding-index masks) and an unsharded model axis."""
+        an unsharded model axis, padding_index == 0 for sequence datasets,
+        and no id-equality-based losses (in_batch_softmax compares raw item
+        ids across the batch; position-rewritten ids break that — use the
+        'unique' layout engines for retrieval training)."""
         from tpurec.embedding.sparse import SparseAdamState
         from tpurec.ops.pallas.embedding_update import (
             CHUNK,
@@ -581,11 +632,16 @@ class Trainer:
             unpermute_rows,
         )
 
-        if self.info.sequence_names:
+        if self.info.sequence_names and self.info.padding_index != 0:
             raise ValueError(
-                "embedding_optimizer='fused_adam' supports tabular datasets "
-                "only (sequence padding masks need the 'unique' layout); use "
-                "'adam'/'rowwise_adam' instead"
+                "embedding_optimizer='fused_adam' sequence support assumes "
+                "padding_index == 0 (mask overrides are keyed off id 0)"
+            )
+        if self.config.train.loss == "in_batch_softmax":
+            raise ValueError(
+                "embedding_optimizer='fused_adam' cannot train "
+                "in_batch_softmax losses (raw-id equality checks don't "
+                "survive the position rewrite); use 'adam'/'rowwise_adam'"
             )
         if self.mesh_ctx.mesh.shape.get("model", 1) > 1:
             raise ValueError(
@@ -598,10 +654,19 @@ class Trainer:
         metrics = self.metrics
         oc = self.config.train.optimizer
         l2_coeff = self.config.model.embedding.used_id_l2
-        id_features = list(self.info.feature_names)
+        id_features = self._id_features
+        seq_cols = set(self._id_features) - set(self.info.feature_names)
+        padding_index = self.info.padding_index
         mutable = ["batch_stats"]
         interpret = jax.default_backend() != "tpu"
         chunk = CHUNK
+
+        def _flat(x):
+            # sequence (B, L) columns flatten COLUMN-major so that, after the
+            # transposed position rewrite below, every reshape(B, -1) column
+            # of a lookup is a contiguous arange — the contract
+            # contiguous_take's scatter-free VJP relies on
+            return (x.T if x.ndim == 2 else x).reshape(-1).astype(jnp.int32)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
@@ -612,9 +677,7 @@ class Trainer:
             step_rng = jax.random.fold_in(state.rng, state.step)
             present = [n for n in id_features if n in batch]
             shapes = [batch[n].shape for n in present]
-            ids_all = jnp.concatenate(
-                [batch[n].reshape(-1).astype(jnp.int32) for n in present]
-            )
+            ids_all = jnp.concatenate([_flat(batch[n]) for n in present])
             n_ids = ids_all.shape[0]
             flat_tables, treedef = jax.tree_util.tree_flatten(state.tables)
             v_rows = flat_tables[0].shape[0]
@@ -652,14 +715,27 @@ class Trainer:
                     ]
                 )
                 first_orig = _unpermute(first_sorted[:, None], plan.order)[:, 0]
-            # rewrite batch id columns to identity positions (static aranges)
+            # rewrite batch id columns to identity positions (static aranges;
+            # (B, L) sequences get TRANSPOSED positions to match _flat's
+            # column-major concat order). The position rewrite destroys the
+            # padding-index sentinel, so every sequence column's original
+            # validity mask ships alongside as '__mask__<name>'
+            # (models.base.series_mask prefers it). Padding occurrences keep
+            # their own slots — their rows equal table[padding_index], so
+            # forward values and (post-scatter) gradients match dense exactly.
             batch = dict(batch)
             offset = 0
             for name, shape in zip(present, shapes):
                 size = int(np.prod(shape))
-                batch[name] = jnp.arange(offset, offset + size, dtype=jnp.int32).reshape(
-                    shape
-                )
+                pos = jnp.arange(offset, offset + size, dtype=jnp.int32)
+                if name in seq_cols and len(shape) == 2:
+                    batch[f"__mask__{name}"] = (
+                        batch[name] != padding_index
+                    ).astype(jnp.float32)
+                    pos = pos.reshape(shape[1], shape[0]).T
+                else:
+                    pos = pos.reshape(shape)
+                batch[name] = pos
                 offset += size
 
             def compute_loss(params, rows):
