@@ -98,10 +98,16 @@ class SharedEmbedding(nn.Module):
         n_model = self.mesh.shape[MODEL_AXIS] if self.mesh is not None else 1
         v_pad = pad_vocab(self.vocab_size, n_model)
         if sparse_mode_enabled():
+            # same ('model', None) row-sharding metadata as the dense param:
+            # the trainer's init_state places the table with its NamedSharding
+            # (sparse gather/scatter then run under GSPMD with the collectives
+            # XLA inserts)
             table_var = self.variable(
                 "tables",
                 "embedding" + self.name_suffix,
-                uniform_init(self.init_scale),
+                nn.with_partitioning(
+                    uniform_init(self.init_scale), (MODEL_AXIS, None)
+                ),
                 self.make_rng("params") if self.has_rng("params") else None,
                 (v_pad, self.dim),
                 self.param_dtype,
@@ -214,7 +220,9 @@ class FieldAwareEmbedding(nn.Module):
             table_var = self.variable(
                 "tables",
                 "embedding",
-                uniform_init(self.init_scale),
+                nn.with_partitioning(
+                    uniform_init(self.init_scale), (MODEL_AXIS, None, None)
+                ),
                 self.make_rng("params") if self.has_rng("params") else None,
                 (v_pad, self.num_fields, self.dim),
                 self.param_dtype,
