@@ -227,7 +227,7 @@ def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
     }
 
 
-def _fm_trainer(info, batch_size, mode: str):
+def _mk_trainer(name, info, batch_size, mode: str, model_params=None, dim=32):
     """mode: 'dense' (optax adam, autodiff scatter) | 'fused' (Pallas
     tile-stream engine, identical dense-Adam math) | 'sparse' (lazy
     rowwise_adam)."""
@@ -243,7 +243,9 @@ def _fm_trainer(info, batch_size, mode: str):
     sparse = mode != "dense"
     emb_opt = {"dense": "adam", "fused": "fused_adam", "sparse": "rowwise_adam"}[mode]
     cfg = ExperimentConfig(
-        model=ModelConfig(name="fm", embedding=EmbeddingConfig(dim=32)),
+        model=ModelConfig(
+            name=name, params=dict(model_params or {}), embedding=EmbeddingConfig(dim=dim)
+        ),
         train=TrainConfig(
             batch_size=batch_size,
             loss="bce",
@@ -255,9 +257,10 @@ def _fm_trainer(info, batch_size, mode: str):
     return Trainer(cfg, info)
 
 
-def _measure_fm(info, batch_size=8192, warmup=12, iters=20, mode="dense") -> dict:
-    trainer = _fm_trainer(info, batch_size, mode)
-    batch = _make_batch(info, batch_size, seed=1)
+def _measure_trainer_step(
+    trainer, info, batch_size, warmup=12, iters=20, seq_len=0, mode="dense"
+) -> dict:
+    batch = _make_batch(info, batch_size, seq_len=seq_len, seed=1)
     state = trainer.init_state(batch)
     dbatch = trainer.device_batch(batch)
     mstate = trainer.metrics.init()
@@ -274,6 +277,30 @@ def _measure_fm(info, batch_size=8192, warmup=12, iters=20, mode="dense") -> dic
         "examples_per_s": round(batch_size / dt, 1),
         "step_ms": round(dt * 1e3, 3),
     }
+
+
+def _measure_fm(info, batch_size=8192, warmup=12, iters=20, mode="dense") -> dict:
+    trainer = _mk_trainer("fm", info, batch_size, mode)
+    return _measure_trainer_step(trainer, info, batch_size, warmup, iters, mode=mode)
+
+
+def _measure_din_trainer(batch_size=8192, warmup=12, iters=20, mode="fused") -> dict:
+    """The PRODUCTION DIN step (Trainer: fwd/bwd + optimizer + streaming-AUC
+    metric update in ONE jit) with the chosen embedding engine — fused_adam
+    replaces the XLA per-row gather/scatter on the (B·(L+3)) id stream, the
+    dominant cost of the dense step (BENCH r3: 5.32 of 9.83 ms)."""
+    model, info, seq_len = _din_model()
+    trainer = _mk_trainer(
+        "din", info, batch_size, mode,
+        model_params={
+            "user_features": ["user_tag"],
+            "item_features": ["item_id", "item_tag"],
+            "sequence_features": ["history"],
+        },
+    )
+    return _measure_trainer_step(
+        trainer, info, batch_size, warmup, iters, seq_len=seq_len, mode=mode
+    )
 
 
 def _fm_roofline(info, batch_size, dim=32) -> dict:
@@ -302,6 +329,10 @@ def main():
     import jax
 
     din = _measure_din()
+    # production Trainer step (includes the streaming-AUC metric update) in
+    # both engines; the fused engine's sequence support is the r4 headline
+    din_fused = _measure_din_trainer(mode="fused")
+    din_dense_tr = _measure_din_trainer(mode="dense")
     info2m = _fm_info()  # 26 x 80k = 2.08M rows
     fm_dense = _measure_fm(info2m, mode="dense")
     fm_fused = _measure_fm(info2m, mode="fused")
@@ -333,18 +364,23 @@ def main():
         cpu_rate = float(json.loads(out.stdout.strip().splitlines()[-1])["examples_per_s"])
     except Exception:
         cpu_rate = float("nan")
-    vs = din["examples_per_s"] / cpu_rate if cpu_rate == cpu_rate else 1.0
+    best_examples_s = max(din["examples_per_s"], din_fused["examples_per_s"])
+    vs = best_examples_s / cpu_rate if cpu_rate == cpu_rate else 1.0
     print(
         json.dumps(
             {
                 "metric": "train examples/s/chip (din)",
-                "value": round(din["examples_per_s"], 1),
+                "value": round(best_examples_s, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(vs, 2),
                 "detail": {
                     "din_step_ms": round(din["step_ms"], 2),
                     "din_breakdown_ms": din["breakdown_ms"],
                     "din_utilization": din["utilization"],
+                    "din_trainer_step_ms": {
+                        "fused_engine": din_fused["step_ms"],
+                        "dense_xla": din_dense_tr["step_ms"],
+                    },
                     "fm": {
                         "dense_xla": fm_dense,
                         "fused_engine": fm_fused,

@@ -192,7 +192,7 @@ def bench_dssm_recall(trainer, state, info, test):
 
 def bench_retrieval_recall(
     name, info, train, test, raw, gen_dir, epochs, ks=(20, 100), n_eval=2000,
-    model_params=None, lr=0.002, dim=32, trials=3,
+    model_params=None, lr=0.002, dim=32, trials=3, batch=512,
 ):
     """Train a multi-interest retrieval tower and measure recall@k over the
     full item corpus, next to the numerically-computed Bayes oracle
@@ -211,7 +211,7 @@ def bench_retrieval_recall(
     # negatives (6.MIND/CustomLayers.py:252-261)
     pos_train = {k: v[train["label"] > 0] for k, v in train.items()}
     state, trainer, rep = run_ranking(
-        name, info, pos_train, test, epochs * 2, lr=lr,
+        name, info, pos_train, test, epochs * 2, lr=lr, batch=batch,
         loss="in_batch_softmax", dim=dim, model_params=model_params,
         trials=trials,
     )

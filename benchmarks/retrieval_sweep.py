@@ -85,16 +85,35 @@ def main():
         ("comirec", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
         ("sdm", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
         ("sine", "cosmask", {"normalize_logits": True}, 0.002, 32, 12),
+        # round-4 (VERDICT r3 #6): ComiRec at 78% of oracle, bar 85%. The
+        # sampled-softmax rows above were measured BEFORE the sampled-negative
+        # accidental-hit mask landed (models/mind.py _sampled_logits) — fresh
+        # keys re-measure it masked, per the reference's
+        # remove_accidental_hits default (6.MIND/CustomLayers.py:853-863).
+        # Plus K / batch (more in-batch negatives) / epoch pushes on the
+        # masked-in-batch winner.
+        ("comirec", "mask_neg512", {"num_sampled_negatives": 512}, 0.002, 32, 12),
+        ("comirec", "cosmask_neg512", {"normalize_logits": True, "num_sampled_negatives": 512}, 0.002, 32, 12),
+        ("comirec", "mask_k8", {"num_interests": 8}, 0.002, 32, 12),
+        ("comirec", "mask_b1024", {}, 0.002, 32, 12, 1024),
+        ("comirec", "mask_b2048", {}, 0.003, 32, 16, 2048),
+        ("comirec", "mask_e24", {}, 0.002, 32, 24),
+        ("comirec", "mask_dr", {"variant": "dr"}, 0.002, 32, 12),
+        ("mind", "cosmask_b1024", {"normalize_logits": True}, 0.002, 32, 12, 1024),
     ]
-    for name, suffix, mp, lr, dim, epochs in configs:
-        key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}"
+    for cfg in configs:
+        name, suffix, mp, lr, dim, epochs = cfg[:6]
+        batch = cfg[6] if len(cfg) > 6 else 512
+        key = f"{name}_{suffix}_lr{lr}_d{dim}_e{epochs}" + (
+            f"_b{batch}" if batch != 512 else ""
+        )
         if key in results:
             print(f"skip {key}", flush=True)
             continue
         print(f"running {key}", flush=True)
         entry = bench_retrieval_recall(
             name, info, train, test, raw, gen_dir, epochs,
-            model_params=mp, lr=lr, dim=dim,
+            model_params=mp, lr=lr, dim=dim, batch=batch,
         )
         results[key] = entry
         print(json.dumps({key: entry}), flush=True)
