@@ -1,0 +1,155 @@
+"""Attribute the FUSED-engine FM train-step budget (VERDICT r3 item #3:
+28.4 ms measured where the HBM roofline allows 2.5 ms — find the other 26).
+
+Times isolated jitted programs at the exact bench.py FM shapes (B=8192,
+F=26, D=32, 2.08M-row shared table) for every stage of the fused step
+(trainer._build_fused_train_step):
+
+    sort/plan | forward concatenated take | grad permute take |
+    scatter-add kernel (v & w) | dense adam pass | full fused step
+
+Prints one JSON block. Run on the real TPU: python benchmarks/fm_fused_profile.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _checksum, _fm_info, _make_batch, _mk_trainer
+
+    B = 8192
+    info = _fm_info()
+    trainer = _mk_trainer("fm", info, B, "fused")
+    batch_np = _make_batch(info, B, seed=1)
+    state = trainer.init_state(batch_np)
+    batch = trainer.device_batch(batch_np)
+    mstate = trainer.metrics.init()
+
+    results = {}
+
+    def timed(name, fn, *args, iters=20, warmup=8):
+        out = None
+        for _ in range(warmup):
+            out = fn(*args)
+        _checksum(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _checksum(out)
+        dt = (time.perf_counter() - t0) / iters
+        results[name] = round(dt * 1e3, 3)
+        print(f"{name}: {dt*1e3:.3f} ms", flush=True)
+        return out
+
+    # full fused step, threaded like bench.py
+    s, m = state, mstate
+    for _ in range(12):
+        s, m, _ = trainer.train_step(s, batch, m)
+    _checksum(s.tables)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        s, m, _ = trainer.train_step(s, batch, m)
+    _checksum(s.tables)
+    results["full_fused_step"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+    print(f"full_fused_step: {results['full_fused_step']} ms", flush=True)
+
+    from tpurec.ops.pallas.embedding_update import (
+        CHUNK,
+        adam_update,
+        fused_scatter_add,
+        gather_rows_sorted,
+        make_scatter_plan,
+        pick_block_rows,
+    )
+
+    v = s.tables["v"]["embedding"]  # (V, 32)
+    w = s.tables["w"]["w"]["embedding"]  # (V, 1)
+    v_rows = v.shape[0]
+    ids_all = jnp.concatenate(
+        [batch[n].reshape(-1).astype(jnp.int32) for n in info.feature_names]
+    )
+    n_ids = ids_all.shape[0]
+    print(f"n_ids={n_ids} v_rows={v_rows}", flush=True)
+
+    @jax.jit
+    def plan_only(ids):
+        p = make_scatter_plan(ids, v_rows, pick_block_rows(chunk=CHUNK), CHUNK)
+        return p.sids, p.order
+
+    timed("sort_plan", plan_only, ids_all)
+
+    cat = jnp.concatenate([v, jnp.reshape(w, (v_rows, 1))], axis=1)  # (V, 33)
+
+    @jax.jit
+    def fwd_take(c, ids):
+        return jnp.take(c, ids, axis=0)
+
+    rows_cat = timed("forward_concat_take_33cols", fwd_take, cat, ids_all)
+
+    sids, order = plan_only(ids_all)
+
+    @jax.jit
+    def grad_permute(g, o):
+        return jnp.take(g, o, axis=0)
+
+    timed("grad_permute_take_33cols", grad_permute, rows_cat, order)
+
+    plan = jax.jit(
+        lambda ids: make_scatter_plan(ids, v_rows, pick_block_rows(chunk=CHUNK), CHUNK)
+    )(ids_all)
+    gs_sorted = jnp.take(rows_cat, order, axis=0)
+
+    @jax.jit
+    def scatter_v(gs):
+        return fused_scatter_add(v_rows, 32, plan, gs[:, :32])
+
+    @jax.jit
+    def scatter_w(gs):
+        return fused_scatter_add(v_rows, 1, plan, gs[:, 32:])
+
+    gv = timed("scatter_kernel_v32", scatter_v, gs_sorted)
+    timed("scatter_kernel_w1", scatter_w, gs_sorted)
+
+    # tile-stream gather (the alternative forward): sorted rows, no unpermute
+    @jax.jit
+    def tile_gather_v(t):
+        return gather_rows_sorted(t, plan)
+
+    timed("tile_stream_gather_v32_sorted", tile_gather_v, v)
+
+    mm = jnp.zeros_like(v)
+    vv = jnp.zeros_like(v)
+
+    @jax.jit
+    def adam_v(t, m_, v_, g):
+        return adam_update(t, m_, v_, g, jnp.int32(5), 1e-3)
+
+    timed("adam_dense_pass_v32", adam_v, v, mm, vv, gv)
+
+    # component sum vs whole
+    comp = (
+        results["sort_plan"]
+        + results["forward_concat_take_33cols"]
+        + results["grad_permute_take_33cols"]
+        + results["scatter_kernel_v32"]
+        + results["scatter_kernel_w1"]
+        + results["adam_dense_pass_v32"]
+    )
+    results["_sum_of_components"] = round(comp, 3)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

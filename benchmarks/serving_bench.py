@@ -109,6 +109,13 @@ def build_service(platform: str):
     )
     kv = DictKVStore()
     result = indexer.run(os.path.join(root, "index"), kv_store=kv, topk=20)
+    # per-item category for the diversity-greedy retrieval path: the first
+    # item tag feature of each profile (ComiRec's aggregate-diversity
+    # objective reranks by category novelty, 6.MIND/CustomLayers.py:868-963)
+    cat_col = 1 if len(info.item_features) > 1 else 0
+    item_categories = [
+        int(item_profile[i][cat_col]) for i in result["item_ids"]
+    ]
     service = RecommendService(
         user_tower=user_tower,
         ranker=ranker,
@@ -119,6 +126,7 @@ def build_service(platform: str):
         kv_store=kv,
         item_ids=result["item_ids"],
         item_embeddings=result["item_embeddings"],
+        item_categories=item_categories,
     )
     server = serve_background(service, port=0)
     return server, user_profile, item_profile
@@ -182,6 +190,24 @@ def main():
     )
     results["retrieve_online_top20"] = bench_path(
         port, [{"user_id": u, "type": "retrieve", "topk": 20} for u in uids],
+        args.requests,
+    )
+    # ComiRec diversity-greedy retrieval (k sequential argmax passes over the
+    # corpus inside one jitted call) at k=20 and k=100
+    results["retrieve_diverse_top20"] = bench_path(
+        port,
+        [
+            {"user_id": u, "type": "retrieve", "topk": 20, "diversity_weight": 0.1}
+            for u in uids
+        ],
+        args.requests,
+    )
+    results["retrieve_diverse_top100"] = bench_path(
+        port,
+        [
+            {"user_id": u, "type": "retrieve", "topk": 100, "diversity_weight": 0.1}
+            for u in uids
+        ],
         args.requests,
     )
     results["rank_20"] = bench_path(
