@@ -194,6 +194,15 @@ def main():
              l2_w=7e-5, trials=6, cross=True, l2_cross=3e-3, schedule="cosine"),
         dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=16, epochs=20,
              l2_w=4e-5, trials=6, cross=True, l2_cross=3e-3, l2_ids=3e-3),
+        # round 8 (r4b): combine the two best independent axes — d8+cosine
+        # (0.58789, the sweep's non-cross best) with the explicit cross
+        # column (+0.0015 at d16); longer budget since cosine runs peak late
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=24,
+             l2_w=4e-5, trials=6, cross=True, schedule="cosine"),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=24,
+             l2_w=4e-5, trials=6, cross=True, l2_cross=3e-3, schedule="cosine"),
+        dict(lr=1e-3, batch=256, emb_l2=3e-4, used_l2=0.0, dim=8, epochs=24,
+             l2_w=4e-5, trials=8, schedule="cosine"),
     ]
     for c in configs:
         key = (
