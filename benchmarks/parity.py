@@ -370,19 +370,26 @@ def main():
         train_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "train"))
         test_w = load_columnar(shard_paths(os.path.join(wroot, "gen"), "test"))
         if "fm_weak" in models:
-            # recipe from benchmarks/fm_weak_sweep.py (30+ configs swept):
-            # full-table coupled L2 split by order — 3e-4 on the interaction
-            # table (suppresses spurious id-vector interactions), 7e-5 on the
-            # order-1 bias table (the liblinear-probe-calibrated ridge that
-            # keeps per-id base-rate signal). The probe ceiling on this data
-            # is 0.58829 (ridge LR with an EXPLICIT utag1×itag1 cross);
-            # tags-only Bayes is 0.5836 — anything above it proves id-signal
-            # recovery. Keras' single l2 coefficient (reference recipe,
-            # 2.FM/CustomLayers.py:129-134) measured 0.5611 here.
+            # recipe from benchmarks/fm_weak_sweep.py (40+ configs swept; r4
+            # winner 0.58797 at the sweep's budget): full-table coupled L2
+            # split by order — 3e-4 on the interaction table (suppresses
+            # spurious id-vector interactions), 4e-5 on the order-1 bias
+            # table — under a cosine lr decay (weak-signal runs peak late;
+            # the decay holds the peak instead of oscillating past it). The
+            # probe ceiling on this data is 0.58829 (ridge LR with an
+            # EXPLICIT utag1×itag1 cross); tags-only Bayes is 0.5836 —
+            # anything above it proves id-signal recovery. Keras' single l2
+            # coefficient (reference recipe, 2.FM/CustomLayers.py:129-134)
+            # measured 0.5611 here.
+            e_fm = epochs * 2 - 4  # 20 at the full budget (sweep's winner)
             _, _, rep = run_ranking(
-                "fm", info_w, train_w, test_w, epochs * 2 + 6, lr=0.001,
-                batch=256, emb_l2=3e-4, trials=5,
-                optimizer_kwargs={"embedding_l2_order1": 7e-5},
+                "fm", info_w, train_w, test_w, e_fm, lr=0.001,
+                batch=256, emb_l2=3e-4, trials=6,
+                optimizer_kwargs={
+                    "embedding_l2_order1": 4e-5,
+                    "lr_schedule": "cosine",
+                    "schedule_steps": e_fm * (480_000 // 256),
+                },
             )
             results["fm_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],
