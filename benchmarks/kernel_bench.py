@@ -254,6 +254,48 @@ def bench_din_train():
     )
 
 
+def bench_cin_train():
+    from tpurec.ops.pallas.kernels import cin_fused, cin_reference
+
+    b, f, d = 4096, 26, 32
+    sizes = (128, 128)
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+    h = f
+    weights = []
+    for s in sizes:
+        weights.append(jnp.asarray(rng.normal(size=(h * f, s)).astype(np.float32) * 0.1))
+        h = s
+    weights = tuple(weights)
+    return _train_entry(
+        "cin_train", f"B={b} F={f} D={d} S={sizes}",
+        lambda e, w: cin_reference(e, w),
+        lambda e, w: cin_fused(e, w),
+        (emb, weights), (0, 1),
+    )
+
+
+def bench_senet_train():
+    from tpurec.ops.pallas.kernels import (
+        senet_bilinear_fused,
+        senet_bilinear_reference,
+    )
+
+    b, f, d = 8192, 26, 32
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(b, f, d)).astype(np.float32))
+    r = max(1, f // 3)
+    w1 = jnp.asarray(rng.normal(size=(f, r)).astype(np.float32) * 0.3)
+    w2 = jnp.asarray(rng.normal(size=(r, f)).astype(np.float32) * 0.3)
+    wb = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    return _train_entry(
+        "senet_train", f"B={b} F={f} D={d}",
+        lambda *a: senet_bilinear_reference(*a),
+        lambda *a: senet_bilinear_fused(*a),
+        (emb, w1, w2, wb), (0, 1, 2, 3),
+    )
+
+
 def bench_capsule_train():
     from tpurec.ops.pallas.kernels import (
         capsule_routing_fused,
@@ -283,6 +325,8 @@ BENCHES = {
     "capsule": bench_capsule,
     "fm_train": bench_fm_train,
     "cross_train": bench_cross_train,
+    "cin_train": bench_cin_train,
+    "senet_train": bench_senet_train,
     "din_train": bench_din_train,
     "capsule_train": bench_capsule_train,
 }

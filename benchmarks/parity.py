@@ -316,6 +316,11 @@ def main():
         except Exception:
             results = {}
 
+    def save():
+        # written after EVERY entry so a crash partway keeps finished results
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
     root = tempfile.mkdtemp(prefix="parity_")
     if {"fm", "deepfm", "dssm"} & set(models):
         info, train, test, raw, encoder = build_tabular(root, n_events)
@@ -325,10 +330,12 @@ def main():
                              "note": "reference FM is on weak-signal DCN data (0.5879); "
                                      "same-generator oracle here is ~0.94",
                              "seconds": rep["train_seconds"]}
+            save()
         if "deepfm" in models:
             _, _, rep = run_ranking("deepfm", info, train, test, epochs, lr=0.005)
             results["deepfm"] = {"eval_auc": rep["best_eval"]["auc"], "target": 0.9244,
                                  "seconds": rep["train_seconds"]}
+            save()
         if "dssm" in models:
             # the reference trains DSSM dual-tower pointwise with BCE on the
             # click label (cosine → [0,1]) and reports eval AUC 0.9225 — the
@@ -350,6 +357,7 @@ def main():
                 "oracle_recall@100": oracle_recall,
                 "seconds": rep["train_seconds"],
             }
+            save()
     if {"fm_weak", "autoint_weak"} & set(models):
         # the weak-signal regime the reference's ch.3 baselines were actually
         # measured in (FM 0.5879 / AutoInt 0.5972 on production impressions
@@ -400,6 +408,7 @@ def main():
                 "ridge_probe_auc": 0.58829,
                 "seconds": rep["train_seconds"],
             }
+            save()
         if "autoint_weak" in models:
             _, _, rep = run_ranking(
                 "autoint", info_w, train_w, test_w, epochs * 2, lr=0.002, l2=0.001
@@ -410,6 +419,7 @@ def main():
                 "oracle_auc": float(orc["oracle_auc"]),
                 "seconds": rep["train_seconds"],
             }
+            save()
     if "mmoe" in models:
         from tpurec.data.generators import ImpressionLogGenerator
         from tpurec.data.loader import load_columnar, shard_paths
@@ -437,6 +447,7 @@ def main():
             "oracle_cvr_auc": float(orc["oracle_cvr_auc"]),
             "seconds": rep["train_seconds"],
         }
+        save()
     if {"din", "dien", "eta", "mind", "comirec"} & set(models):
         from tpurec.data.generators import SequenceDataGenerator
         from tpurec.data.loader import load_columnar, shard_paths
@@ -466,6 +477,7 @@ def main():
                     name, info, train, test, raw, os.path.join(sroot, "gen"),
                     epochs, model_params=retrieval_recipes[name],
                 )
+                save()
     if "dien" in models:
         # DIEN with the pipeline-sampled negative series feeding the aux loss
         # (reference get_auxiliary_loss, 5.DIN/CustomLayers.py:434-453) vs
@@ -482,6 +494,7 @@ def main():
             "observable_ceiling_auc": 0.856,
             "seconds": rep_aux["train_seconds"] + rep_no["train_seconds"],
         }
+        save()
     if "eta" in models:
         # long-sequence ranking family entry: ETA's SimHash top-k retrieval +
         # GSU/ESU 0.2/0.8 loss (reference 7.SIM protocol) on the same
@@ -495,6 +508,7 @@ def main():
             "observable_ceiling_auc": 0.856,
             "seconds": rep["train_seconds"],
         }
+        save()
     if "din" in models:
         _, _, rep = run_ranking("din", info, train, test, epochs * 2, lr=0.01)
         results["din"] = {
@@ -511,8 +525,7 @@ def main():
         "n_events": n_events, "epochs": epochs,
         "platform": __import__("jax").devices()[0].platform,
     }
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
+    save()
     print(json.dumps(results, indent=2))
 
 
