@@ -156,7 +156,8 @@ def _data(n=512, seed=0):
     return d
 
 
-def _trainer(model="fm", sparse=False, emb_opt="adam", used_l2=0.0):
+def _trainer(model="fm", sparse=False, emb_opt="adam", used_l2=0.0,
+             fused_backward="sort_payload"):
     cfg = ExperimentConfig(
         model=ModelConfig(
             name=model, embedding=EmbeddingConfig(dim=8, used_id_l2=used_l2)
@@ -168,7 +169,8 @@ def _trainer(model="fm", sparse=False, emb_opt="adam", used_l2=0.0):
             compute_dtype="float32",
             sparse_embedding=sparse,
             optimizer=OptimizerConfig(
-                learning_rate=1e-2, embedding_optimizer=emb_opt
+                learning_rate=1e-2, embedding_optimizer=emb_opt,
+                fused_backward=fused_backward,
             ),
         ),
     )
@@ -206,6 +208,37 @@ def test_fused_adam_matches_dense_training(model, used_l2):
     # dense params (bias / MLP) must match too
     np.testing.assert_allclose(
         float(ds.params["bias"]), float(fs.params["bias"]), rtol=2e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("used_l2", [0.0, 0.01])
+def test_sort_payload_matches_permute_backward(used_l2):
+    """The payload-carrying-sort backward (one lax.sort moves the grad
+    columns with the id keys; used-id L2 applied in table space) must equal
+    the legacy argsort + take(grads, order) permute path step for step."""
+    a = _trainer("fm", sparse=True, emb_opt="fused_adam", used_l2=used_l2,
+                 fused_backward="sort_payload")
+    b = _trainer("fm", sparse=True, emb_opt="fused_adam", used_l2=used_l2,
+                 fused_backward="permute")
+    batch = _data(128)
+    sa, sb = a.init_state(batch), b.init_state(batch)
+    ma, mb = a.metrics.init(), b.metrics.init()
+    for i in range(3):
+        bt = _data(128, seed=i)
+        sa, ma, la = a.train_step(sa, a.device_batch(bt), ma)
+        sb, mb, lb = b.train_step(sb, b.device_batch(bt), mb)
+        np.testing.assert_allclose(
+            float(la["loss"]), float(lb["loss"]), rtol=2e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(sa.tables["v"]["embedding"]),
+        np.asarray(sb.tables["v"]["embedding"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sa.tables["w"]["w"]["embedding"]),
+        np.asarray(sb.tables["w"]["w"]["embedding"]),
+        rtol=2e-5, atol=2e-6,
     )
 
 

@@ -135,6 +135,12 @@ class OptimizerConfig(_Base):
     # crossovers, tpurec.train.trainer.resolve_embedding_engine; 'auto' also
     # decides TrainConfig.sparse_embedding, overriding the flag)
     embedding_optimizer: str = "adam"
+    # fused_adam backward strategy: 'sort_payload' (default) sorts the id
+    # keys WITH the grad columns riding along as lax.sort payload operands —
+    # one streaming compare-exchange network replaces BOTH the id argsort
+    # and the latency-bound 'take(grads, order)' permute (~24M rows/s XLA
+    # row loop). 'permute' is the legacy argsort + permute-take path.
+    fused_backward: str = "sort_payload"
 
 
 @dataclass(frozen=True)

@@ -624,7 +624,10 @@ class Trainer:
         from tpurec.embedding.sparse import SparseAdamState
         from tpurec.ops.pallas.embedding_update import (
             CHUNK,
+            ScatterPlan,
             _unpermute,
+            adam_update,
+            fused_scatter_add,
             gather_rows_grouped,
             make_scatter_plan,
             pick_block_rows,
@@ -660,6 +663,13 @@ class Trainer:
         mutable = ["batch_stats"]
         interpret = jax.default_backend() != "tpu"
         chunk = CHUNK
+        # 'sort_payload': one lax.sort carries the grad columns alongside the
+        # id keys (streaming compare-exchange), replacing the id argsort AND
+        # the latency-bound take(grads, order) permute; used-id L2 then moves
+        # to table space (G += l2 * table on touched rows — identical math,
+        # since rows[j] == table[id_j]), so the original-order
+        # first-occurrence mask is never needed.
+        use_sort_payload = oc.fused_backward != "permute"
 
         def _flat(x):
             # sequence (B, L) columns flatten COLUMN-major so that, after the
@@ -685,9 +695,11 @@ class Trainer:
                 "fused_adam expects one shared id space across tables"
             )
             flat2d = [t.reshape(t.shape[0], -1) for t in flat_tables]
-            plan = make_scatter_plan(
-                ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
-            )
+            plan = None
+            if not use_sort_payload:
+                plan = make_scatter_plan(
+                    ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
+                )
             # forward rows via ONE concatenated XLA take (original order):
             # XLA's TPU gather is latency-bound per ROW (~24M rows/s), so a
             # single take over the column-concatenated tables costs the same
@@ -703,7 +715,7 @@ class Trainer:
                 )
                 col += wdt
             rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
-            if l2_coeff > 0:
+            if l2_coeff > 0 and not use_sort_payload:
                 # first-occurrence mask in ORIGINAL order: used-id L2 counts
                 # each unique id once (reference 5.DIN/ModelManager.py:175-190)
                 first_sorted = jnp.concatenate(
@@ -752,7 +764,7 @@ class Trainer:
                 loss, logs = loss_fn(outputs, batch)
                 loss, aux_logs = add_auxiliary(loss, outputs)
                 logs.update(aux_logs)
-                if l2_coeff > 0:
+                if l2_coeff > 0 and not use_sort_payload:
                     reg = sum(
                         0.5
                         * jnp.sum(
@@ -780,28 +792,77 @@ class Trainer:
             flat_opt = jax.tree_util.tree_flatten(
                 state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
             )[0]
-            # one concatenated permute (same latency-bound-per-row argument)
-            g_cat = jnp.take(
-                jnp.concatenate([g.reshape(n_ids, -1) for g in flat_grads], axis=1),
-                plan.order, axis=0,
+            g_cat0 = jnp.concatenate(
+                [g.reshape(n_ids, -1) for g in flat_grads], axis=1
             )
+            if use_sort_payload:
+                srt = jax.lax.sort(
+                    (ids_all,) + tuple(g_cat0[:, j] for j in range(g_cat0.shape[1])),
+                    num_keys=1,
+                )
+                npad = -(-n_ids // chunk) * chunk
+                sids_p = jnp.concatenate(
+                    [srt[0], jnp.full((npad - n_ids,), v_rows, jnp.int32)]
+                )
+                g_cat = jnp.stack(srt[1:], axis=1)  # (n, W); kernels pad rows
+                plan = ScatterPlan(
+                    sids_p, jnp.zeros((0,), jnp.int32), n_ids, v_rows,
+                    pick_block_rows(chunk=chunk), chunk,
+                )
+            else:
+                # one concatenated permute (latency-bound-per-row argument)
+                g_cat = jnp.take(g_cat0, plan.order, axis=0)
             gs_list, col = [], 0
             for wdt in widths:
                 gs_list.append(g_cat[:, col : col + wdt])
                 col += wdt
-            nps, nms, nvs = scatter_adam_grouped(
-                flat2d,
-                [o.m.reshape(o.m.shape[0], -1) for o in flat_opt],
-                [o.v.reshape(o.v.shape[0], -1) for o in flat_opt],
-                plan,
-                gs_list,
-                new_step,
-                oc.learning_rate,
-                oc.b1,
-                oc.b2,
-                oc.eps,
-                interpret=interpret,
-            )
+            if use_sort_payload and l2_coeff > 0:
+                # used-id L2 in table space: scatter a column of ones to get
+                # per-row occurrence counts (sentinel pad rows self-mask in
+                # the kernel), then G += l2 * table on touched rows — the
+                # exact gradient the rows-space reg produced, each unique id
+                # counted once
+                count = fused_scatter_add(
+                    v_rows, 1, plan,
+                    jnp.ones((g_cat.shape[0], 1), jnp.float32), interpret,
+                )
+                touched = (count > 0).astype(jnp.float32)
+                nps, nms, nvs = [], [], []
+                reg = 0.0
+                for t2, o, g in zip(flat2d, flat_opt, gs_list):
+                    gd = fused_scatter_add(v_rows, t2.shape[1], plan, g, interpret)
+                    tf32 = t2.astype(jnp.float32)
+                    gd = gd + l2_coeff * touched * tf32
+                    reg = reg + 0.5 * jnp.sum(
+                        touched[:, 0] * jnp.sum(jnp.square(tf32), axis=-1)
+                    )
+                    p2, m2, v2 = adam_update(
+                        tf32,
+                        o.m.reshape(o.m.shape[0], -1).astype(jnp.float32),
+                        o.v.reshape(o.v.shape[0], -1).astype(jnp.float32),
+                        gd, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps,
+                    )
+                    nps.append(p2)
+                    nms.append(m2)
+                    nvs.append(v2)
+                # reported loss matches the rows-space formulation (the model
+                # loss above excluded the reg term in this mode)
+                loss = loss + l2_coeff * reg
+                logs["used_id_l2"] = reg
+            else:
+                nps, nms, nvs = scatter_adam_grouped(
+                    flat2d,
+                    [o.m.reshape(o.m.shape[0], -1) for o in flat_opt],
+                    [o.v.reshape(o.v.shape[0], -1) for o in flat_opt],
+                    plan,
+                    gs_list,
+                    new_step,
+                    oc.learning_rate,
+                    oc.b1,
+                    oc.b2,
+                    oc.eps,
+                    interpret=interpret,
+                )
             new_tables = [p.reshape(t.shape) for p, t in zip(nps, flat_tables)]
             new_opts = [
                 SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
