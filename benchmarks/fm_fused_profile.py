@@ -30,7 +30,8 @@ def main():
     from bench import _checksum, _fm_info, _make_batch, _mk_trainer
 
     B = 8192
-    info = _fm_info()
+    vpf = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
+    info = _fm_info(vocab_per_field=vpf)
     trainer = _mk_trainer("fm", info, B, "fused")
     batch_np = _make_batch(info, B, seed=1)
     state = trainer.init_state(batch_np)
@@ -137,6 +138,44 @@ def main():
         return adam_update(t, m_, v_, g, jnp.int32(5), 1e-3)
 
     timed("adam_dense_pass_v32", adam_v, v, mm, vv, gv)
+
+    # --- candidate-optimization micro-experiments (r4) -------------------
+    # (a) does sortedness help XLA's take? (row-loop locality)
+    timed("take_sorted_ids_33cols", fwd_take, cat, sids[: n_ids])
+    # (b) does the row rate depend on N? (16k subset = the 2-big-feature case)
+    timed("take_16k_ids_33cols", fwd_take, cat, ids_all[:16384])
+    # (c) payload-carrying sort, 1 column (the 34-operand variant does not
+    # finish COMPILING on the v5e toolchain — see OptimizerConfig.fused_backward)
+    cols = [rows_cat[:, j] for j in range(2)]
+
+    @jax.jit
+    def payload_sort_1col(ids, c0):
+        return jax.lax.sort((ids, c0), num_keys=1)[1]
+
+    timed("payload_sort_1col", payload_sort_1col, ids_all, cols[0])
+
+    # (d) batched per-feature sort (26, 8192) — offset-disjoint features
+    # concatenated in offset order are ALREADY globally sorted, so 26
+    # independent row sorts could replace the global 213k sort
+    ids_bf = ids_all.reshape(26, 8192)
+
+    @jax.jit
+    def batched_sort(x):
+        io = jnp.broadcast_to(jnp.arange(8192, dtype=jnp.int32), (26, 8192))
+        return jax.lax.sort((x, io), dimension=1, num_keys=1)
+
+    timed("batched_feature_sort_26x8192", batched_sort, ids_bf)
+
+    # (e) scatter kernel output combine cost: the two passes materialize two
+    # full (rows128, 128) arrays + masked sum — time the masked-sum alone
+    rows128 = (v_rows // 4 + 4095) // 4096 * 4096  # packed rows, d=32 k=4
+
+    @jax.jit
+    def masked_sum(a, b):
+        return a * 0.5 + b * 0.5
+
+    big_a = jnp.zeros((rows128, 128), jnp.float32)
+    timed("two_pass_combine_sum", masked_sum, big_a, big_a)
 
     # component sum vs whole
     comp = (

@@ -135,12 +135,16 @@ class OptimizerConfig(_Base):
     # crossovers, tpurec.train.trainer.resolve_embedding_engine; 'auto' also
     # decides TrainConfig.sparse_embedding, overriding the flag)
     embedding_optimizer: str = "adam"
-    # fused_adam backward strategy: 'sort_payload' (default) sorts the id
-    # keys WITH the grad columns riding along as lax.sort payload operands —
-    # one streaming compare-exchange network replaces BOTH the id argsort
-    # and the latency-bound 'take(grads, order)' permute (~24M rows/s XLA
-    # row loop). 'permute' is the legacy argsort + permute-take path.
-    fused_backward: str = "sort_payload"
+    # fused_adam backward strategy. 'permute' (default): argsort the ids and
+    # move grads with take(grads, order) — measured ~3.5 ms TOTAL for 213k
+    # ids x 33 cols on v5e (the permute take from a batch-sized source is
+    # near-free; only big-TABLE gathers hit the ~24M rows/s row-loop wall).
+    # 'sort_payload' carries the grad columns as lax.sort payload operands
+    # (one streaming network, no order array, used-id L2 in table space) —
+    # numerically identical (tests/test_fused_embedding.py) but the
+    # 34-operand variadic sort does NOT finish compiling in reasonable time
+    # on the v5e toolchain (>8 min observed), so it stays opt-in.
+    fused_backward: str = "permute"
 
 
 @dataclass(frozen=True)
