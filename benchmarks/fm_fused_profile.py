@@ -107,9 +107,9 @@ def main():
 
     timed("grad_permute_take_33cols", grad_permute, rows_cat, order)
 
-    plan = jax.jit(
-        lambda ids: make_scatter_plan(ids, v_rows, pick_block_rows(chunk=CHUNK), CHUNK)
-    )(ids_all)
+    # eager build: jit would turn plan.n into a traced scalar and break the
+    # static `npad != n` branch inside _pack_grads
+    plan = make_scatter_plan(ids_all, v_rows, pick_block_rows(chunk=CHUNK), CHUNK)
     gs_sorted = jnp.take(rows_cat, order, axis=0)
 
     @jax.jit
@@ -140,6 +140,34 @@ def main():
     timed("adam_dense_pass_v32", adam_v, v, mm, vv, gv)
 
     # --- candidate-optimization micro-experiments (r4) -------------------
+    # packed-view takes: (V, 32) -> (V/4, 128) is a FREE reshape, so the
+    # gather runs against a 4x-smaller source (row count, not bytes, is what
+    # the XLA row loop pays for) and lanes are selected on the VPU
+    assert v_rows % 4 == 0 and v_rows % 128 == 0
+    v128 = v.reshape(v_rows // 4, 128)
+    w128 = jnp.reshape(w, (v_rows // 128, 128))
+
+    @jax.jit
+    def packed_take_v(t128, ids):
+        rows = jnp.take(t128, ids // 4, axis=0)  # (n, 128)
+        grp = (ids % 4)[:, None]
+        r3 = rows.reshape(-1, 4, 32)
+        return sum(jnp.where(grp == q, r3[:, q, :], 0.0) for q in range(4))
+
+    @jax.jit
+    def packed_take_w(t128, ids):
+        rows = jnp.take(t128, ids // 128, axis=0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+        return jnp.sum(jnp.where(lane == (ids % 128)[:, None], rows, 0.0), axis=1)
+
+    timed("packed_take_v32", packed_take_v, v128, ids_all)
+    timed("packed_take_w1", packed_take_w, w128, ids_all)
+
+    @jax.jit
+    def packed_take_both(tv, tw, ids):
+        return packed_take_v(tv, ids), packed_take_w(tw, ids)
+
+    timed("packed_take_v_and_w_one_jit", packed_take_both, v128, w128, ids_all)
     # (a) does sortedness help XLA's take? (row-loop locality)
     timed("take_sorted_ids_33cols", fwd_take, cat, sids[: n_ids])
     # (b) does the row rate depend on N? (16k subset = the 2-big-feature case)

@@ -61,10 +61,14 @@ class CapsuleRouting(nn.Module):
             s = self.param("S", nn.initializers.glorot_uniform(), (d, self.dim), jnp.float32)
             from tpurec.ops.pallas.kernels import (
                 capsule_routing_fused,
+                fused_wins,
                 pallas_available,
             )
 
-            if pallas_available():
+            # phase-aware: capsule_train measures 0.87x even with the fused
+            # backward kernel (today's XLA VJP closed the gap) — reference
+            # math during training, the 6.6x fused forward at inference
+            if pallas_available() and fused_wins("capsule"):
                 # all routing iterations fused in one Pallas kernel: u_hat
                 # stays VMEM-resident instead of being re-read from HBM by
                 # every iteration's two einsums (same math + VJP — parity

@@ -164,7 +164,15 @@ class SENetBilinear(nn.Module):
             senet_bilinear_reference,
         )
 
-        fn = senet_bilinear_fused if pallas_available() else senet_bilinear_reference
+        from tpurec.ops.pallas.kernels import fused_wins
+
+        # phase-aware: fused fwd wins 2.6x but its fwd+bwd (XLA VJP of the
+        # reference recompute) measures 0.45x — reference math during training
+        fn = (
+            senet_bilinear_fused
+            if pallas_available() and fused_wins("senet")
+            else senet_bilinear_reference
+        )
         out = fn(emb.astype(jnp.float32), w1, w2, wb, b1, b2)
         return out.astype(emb.dtype)
 
@@ -235,7 +243,15 @@ class CIN(nn.Module):
             h = size
         # fused kernel needs lane-aligned level sizes (the (F, S) split keeps
         # S as the lane dim; Mosaic rejects non-128-multiple lane reshapes)
-        fused_ok = pallas_available() and all(s % 128 == 0 for s in self.layer_sizes)
+        from tpurec.ops.pallas.kernels import fused_wins
+
+        # phase-aware: cin_train measures 0.88x (kernel_bench) — dispatch the
+        # reference during training, the 2.3x fused kernel at inference
+        fused_ok = (
+            pallas_available()
+            and fused_wins("cin")
+            and all(s % 128 == 0 for s in self.layer_sizes)
+        )
         fn = cin_fused if fused_ok else cin_reference
         return fn(emb.astype(jnp.float32), tuple(weights)).astype(
             self.dtype or emb.dtype

@@ -489,6 +489,35 @@ def _unpermute_bwd(order, g):
 _unpermute.defvjp(_unpermute_fwd, _unpermute_bwd)
 
 
+def packed_take(table2d: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """rows[j] = table2d[ids[j]] via a take against the (V/k, 128) packed
+    VIEW of the table (a free reshape when D is a power of two): XLA's TPU
+    gather cost scales with the source's ROW COUNT, not its bytes
+    (benchmarks/fm_fused_profile.py — 213k rows from a 2.08M-row source:
+    10.5 ms; from a 200k-row source: 2.1 ms), so k = 128/D ids per packed
+    row cuts the row loop k-fold; the lane group is selected on the VPU.
+    Forward-only (no custom VJP): callers differentiate w.r.t. the returned
+    rows, never through this gather."""
+    v, d = table2d.shape
+    ids = ids.reshape(-1).astype(jnp.int32)
+    if d >= LANES:
+        return jnp.take(table2d, ids, axis=0)
+    k, d_pad = _pack_factor(d)
+    if d_pad != d:
+        table2d = jnp.pad(table2d, ((0, 0), (0, d_pad - d)))
+    v_pad = _cdiv(v, k) * k
+    if v_pad != v:
+        table2d = jnp.pad(table2d, ((0, v_pad - v), (0, 0)))
+    t128 = table2d.reshape(v_pad // k, LANES)
+    rows = jnp.take(t128, jax.lax.div(ids, k), axis=0)  # (N, 128)
+    if k == 1:
+        return rows[:, :d]
+    grp = jnp.mod(ids, k)[:, None]
+    r3 = rows.reshape(-1, k, d_pad)
+    out = sum(jnp.where(grp == q, r3[:, q, :], 0.0) for q in range(k))
+    return out[:, :d]
+
+
 def pick_block_rows(d: int = LANES, vmem_budget: int = 10 * 1024 * 1024, chunk: int = CHUNK) -> int:
     """Kept for API compatibility: packed tiles are (R, 128) regardless of
     D; R = 4096 keeps tile-change (and one-hot) counts low."""

@@ -40,6 +40,32 @@ def pallas_available() -> bool:
     return _PALLAS_IMPORTED and jax.default_backend() == "tpu"
 
 
+# --- phase-aware dispatch ---------------------------------------------------
+# TRACE-TIME process flag (the set_sparse_mode pattern): the trainer sets it
+# True while tracing the jitted train step, False elsewhere. Kernels whose
+# fwd+bwd row in benchmarks/kernel_bench_results.json loses to XLA's VJP of
+# the reference math dispatch the reference during training and the fused
+# forward at inference — a model must never train SLOWER because of our own
+# kernel (VERDICT r3 #5).
+_TRAINING_PHASE = False
+
+# measured on v5e (benchmarks/kernel_bench_results.json *_train rows):
+# fm 5.9x and din 1.6x win under training; cross ~0.95 / capsule 0.87 /
+# cin 0.88 / senet 0.45 lose — their backward is the XLA VJP of the
+# reference recompute, so fused-forward buys nothing fwd+bwd.
+TRAIN_WINNERS = frozenset({"fm", "din"})
+
+
+def set_training_phase(flag: bool) -> None:
+    global _TRAINING_PHASE
+    _TRAINING_PHASE = bool(flag)
+
+
+def fused_wins(kernel: str) -> bool:
+    """True when the fused kernel should dispatch in the CURRENT phase."""
+    return (not _TRAINING_PHASE) or kernel in TRAIN_WINNERS
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 

@@ -38,6 +38,7 @@ from tpurec.core.metrics import AUC, Mean, MetricBundle
 from tpurec.core.summary import NullSummaryWriter, SummaryWriter
 from tpurec.data.schema import DataInfo
 from tpurec.models.registry import build_model
+from tpurec.ops.pallas.kernels import set_training_phase as _set_phase
 from tpurec.train import checkpoint as ckpt_lib
 from tpurec.train.losses import add_auxiliary, get_loss
 
@@ -507,6 +508,7 @@ class Trainer:
 
             set_sparse_mode(True)
             set_sparse_layout("unique")
+            _set_phase(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
             # batch key structure is static per trace — keep only the id
             # columns this dataset actually carries
@@ -630,6 +632,7 @@ class Trainer:
             fused_scatter_add,
             gather_rows_grouped,
             make_scatter_plan,
+            packed_take as _packed_take,
             pick_block_rows,
             scatter_adam_grouped,
             unpermute_rows,
@@ -684,6 +687,7 @@ class Trainer:
 
             set_sparse_mode(True)
             set_sparse_layout("direct")
+            _set_phase(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
             present = [n for n in id_features if n in batch]
             shapes = [batch[n].shape for n in present]
@@ -700,20 +704,20 @@ class Trainer:
                 plan = make_scatter_plan(
                     ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
                 )
-            # forward rows via ONE concatenated XLA take (original order):
-            # XLA's TPU gather is latency-bound per ROW (~24M rows/s), so a
-            # single take over the column-concatenated tables costs the same
-            # as the widest table's take alone; measured faster than the
-            # Pallas tile-stream gather + unpermute on this chip/toolchain
+            # forward rows via per-table PACKED-VIEW takes (original order):
+            # XLA's TPU gather cost scales with SOURCE ROW COUNT, not bytes
+            # (fm_fused_profile: a 213k-row take costs 10.5 ms from a 2.08M-row
+            # source but 2.1 ms from a 200k-row one), and (V, D) -> (V/k, 128)
+            # with k = 128/D is a free reshape — so gather ids//k against the
+            # k-times-smaller packed view and select the lane group on the VPU.
+            # Gradients never flow through this: rows enter compute_loss as a
+            # differentiated ARGUMENT, so no VJP is traced through the take.
             widths = [int(np.prod(t.shape[1:])) for t in flat_tables]
-            cat = jnp.concatenate(flat2d, axis=1)
-            rows_cat = jnp.take(cat, ids_all, axis=0)
-            rows_leaves, col = [], 0
-            for t, wdt in zip(flat_tables, widths):
+            rows_leaves = []
+            for t, t2, wdt in zip(flat_tables, flat2d, widths):
                 rows_leaves.append(
-                    rows_cat[:, col : col + wdt].reshape((n_ids,) + t.shape[1:])
+                    _packed_take(t2, ids_all).reshape((n_ids,) + t.shape[1:])
                 )
-                col += wdt
             rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
             if l2_coeff > 0 and not use_sort_payload:
                 # first-occurrence mask in ORIGINAL order: used-id L2 counts
@@ -899,6 +903,7 @@ class Trainer:
             from tpurec.embedding.modules import set_sparse_mode
 
             set_sparse_mode(False)
+            _set_phase(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
 
             def compute_loss(params):
@@ -957,6 +962,7 @@ class Trainer:
 
             set_sparse_mode(sparse)
             set_sparse_layout("unique")
+            _set_phase(False)
             variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
             loss, _ = loss_fn(outputs, batch)
