@@ -123,6 +123,26 @@ def main():
     gv = timed("scatter_kernel_v32", scatter_v, gs_sorted)
     timed("scatter_kernel_w1", scatter_w, gs_sorted)
 
+    # today's XLA scatter at the same shapes (the r2-era 7M rows/s figure
+    # that justified the Pallas kernel may be stale on this toolchain)
+    @jax.jit
+    def xla_scatter_v(ids, g):
+        return jnp.zeros((v_rows, 32), jnp.float32).at[ids].add(g[:, :32])
+
+    timed("xla_scatter_at_add_v32", xla_scatter_v, ids_all, rows_cat)
+
+    # packed-dest XLA scatter: accumulate into the (V/4, 128) packed view
+    # (fewer destination rows; lane-group masking on the VPU)
+    @jax.jit
+    def xla_scatter_packed(ids, g):
+        grp = jnp.mod(ids, 4)[:, None]
+        g128 = jnp.concatenate(
+            [jnp.where(grp == q, g[:, :32], 0.0) for q in range(4)], axis=1
+        )
+        return jnp.zeros((v_rows // 4, 128), jnp.float32).at[ids // 4].add(g128)
+
+    timed("xla_scatter_packed_v32", xla_scatter_packed, ids_all, rows_cat)
+
     # tile-stream gather (the alternative forward): sorted rows, no unpermute
     @jax.jit
     def tile_gather_v(t):
