@@ -410,8 +410,15 @@ def main():
             }
             save()
         if "autoint_weak" in models:
+            # recipe from benchmarks/autoint_weak_sweep.py (r4 winner 0.6023,
+            # best_epoch 19): the fm_weak lesson ported — split-order coupled
+            # L2 (3e-4 interaction / 4e-5 order-1) at lr 1e-3, batch 256
+            # beats the r3 used-id-L2 recipe (0.5937) by +0.009 AUC and the
+            # reference's 0.5972 by +0.005
             _, _, rep = run_ranking(
-                "autoint", info_w, train_w, test_w, epochs * 2, lr=0.002, l2=0.001
+                "autoint", info_w, train_w, test_w, epochs * 2 - 4, lr=0.001,
+                batch=256, emb_l2=3e-4, trials=6,
+                optimizer_kwargs={"embedding_l2_order1": 4e-5},
             )
             results["autoint_weak"] = {
                 "eval_auc": rep["best_eval"]["auc"],

@@ -512,9 +512,14 @@ def packed_take(table2d: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.take(t128, jax.lax.div(ids, k), axis=0)  # (N, 128)
     if k == 1:
         return rows[:, :d]
+    # branch-free lane-group select: mask the k-1 foreign groups to zero in
+    # ONE vectorized pass, then reduce over the group axis (contiguous). A
+    # per-group Python loop of middle-dim slices costs k strided passes —
+    # catastrophic at k=128 (width-1 tables).
     grp = jnp.mod(ids, k)[:, None]
-    r3 = rows.reshape(-1, k, d_pad)
-    out = sum(jnp.where(grp == q, r3[:, q, :], 0.0) for q in range(k))
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    masked = jnp.where(jax.lax.div(lane, d_pad) == grp, rows, 0.0)
+    out = jnp.sum(masked.reshape(-1, k, d_pad), axis=1)
     return out[:, :d]
 
 
