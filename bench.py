@@ -227,10 +227,12 @@ def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
     }
 
 
-def _mk_trainer(name, info, batch_size, mode: str, model_params=None, dim=32):
+def _mk_trainer(
+    name, info, batch_size, mode: str, model_params=None, dim=32, opt_overrides=None
+):
     """mode: 'dense' (optax adam, autodiff scatter) | 'fused' (Pallas
     tile-stream engine, identical dense-Adam math) | 'sparse' (lazy
-    rowwise_adam)."""
+    rowwise_adam). opt_overrides: extra OptimizerConfig fields (engine A/Bs)."""
     from tpurec.config import (
         EmbeddingConfig,
         ExperimentConfig,
@@ -251,7 +253,11 @@ def _mk_trainer(name, info, batch_size, mode: str, model_params=None, dim=32):
             loss="bce",
             log_every_steps=0,
             sparse_embedding=sparse,
-            optimizer=OptimizerConfig(learning_rate=1e-3, embedding_optimizer=emb_opt),
+            optimizer=OptimizerConfig(
+                learning_rate=1e-3,
+                embedding_optimizer=emb_opt,
+                **(opt_overrides or {}),
+            ),
         ),
     )
     return Trainer(cfg, info)

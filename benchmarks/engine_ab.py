@@ -1,0 +1,65 @@
+"""End-to-end A/B of fused-engine strategy knobs — the measurement VERDICT r4
+said was missing: every engine change must be validated on the FULL production
+train step (micro-profiles are dispatch-dominated on the axon tunnel,
+CLAUDE.md measurement pitfalls).
+
+Measures the complete Trainer.train_step (fwd/bwd + optimizer + metrics in one
+jit) at the bench.py shapes for each (model, engine-variant) pair and writes
+benchmarks/engine_ab_results.json.
+
+Run on the real TPU:  python benchmarks/engine_ab.py [fm|din|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "engine_ab_results.json")
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from bench import _din_model, _fm_info, _measure_trainer_step, _mk_trainer
+
+    results = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            results = json.load(f)
+
+    def run(key, name, info, model_params=None, seq_len=0, mode="fused", **opt):
+        trainer = _mk_trainer(
+            name, info, 8192, mode, model_params=model_params, opt_overrides=opt
+        )
+        r = _measure_trainer_step(trainer, info, 8192, seq_len=seq_len, mode=mode)
+        r["opt_overrides"] = opt
+        results[key] = r
+        print(f"{key}: {r['step_ms']} ms", flush=True)
+        with open(RESULTS, "w") as f:
+            json.dump(results, f, indent=2)
+
+    if which in ("fm", "all"):
+        info2m = _fm_info()  # 26 x 80k = 2.08M rows, D=32, B=8192
+        run("fm2m_fused_concat", "fm", info2m, fused_forward="concat")
+        run("fm2m_fused_packed", "fm", info2m, fused_forward="packed")
+        run("fm2m_dense", "fm", info2m, mode="dense")
+
+    if which in ("din", "all"):
+        _, dinfo, seq_len = _din_model()
+        dp = {
+            "user_features": ["user_tag"],
+            "item_features": ["item_id", "item_tag"],
+            "sequence_features": ["history"],
+        }
+        run("din_fused_concat", "din", dinfo, dp, seq_len, fused_forward="concat")
+        run("din_fused_packed", "din", dinfo, dp, seq_len, fused_forward="packed")
+        run("din_dense", "din", dinfo, dp, seq_len, mode="dense")
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -468,12 +468,16 @@ def main():
         info = SequenceDataGenerator(os.path.join(sroot, "gen"), raw["events_path"], max_seq_length=30).run_all()
         train = load_columnar(shard_paths(os.path.join(sroot, "gen"), "train"))
         test = load_columnar(shard_paths(os.path.join(sroot, "gen"), "test"))
-        # recipes from benchmarks/retrieval_sweep.py (r3): the cosine-logit
-        # head (normalize_logits — L2-norm + learned temperature, the DSSM
-        # fix) lifted MIND recall@20 0.031→0.043 / recall@100 0.1385→0.1805;
-        # sampled softmax measurably HURT on this corpus (0.0265), so both
-        # stay on the in-batch loss. ComiRec's sweep winner remains plain
-        # in-batch (cosine measured 0.037 vs 0.040 there).
+        # recipes from benchmarks/retrieval_sweep.py: the cosine-logit head
+        # (normalize_logits — L2-norm + learned temperature, the DSSM fix)
+        # plus the accidental-hit-masked in-batch loss is MIND's sweep winner
+        # (mind_cosmask 0.0465@20 / 0.1805@100 ≥ the 85%-of-oracle bar);
+        # sampled softmax measurably HURT on this corpus (0.0265@20 — the
+        # reference's full-table tf.nn.sampled_softmax_loss protocol,
+        # 6.MIND/CustomLayers.py:853-863, loses to in-batch negatives here
+        # both masked and unmasked: retrieval_sweep *neg* rows). ComiRec's
+        # winner is the masked in-batch loss; cosine measured worse at K=4
+        # (comirec_cosmask 0.033) but the r5 axes are in the sweep file.
         retrieval_recipes = {
             "mind": {"normalize_logits": True},
             "comirec": None,

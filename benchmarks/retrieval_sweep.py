@@ -100,6 +100,13 @@ def main():
         ("comirec", "mask_e24", {}, 0.002, 32, 24),
         ("comirec", "mask_dr", {"variant": "dr"}, 0.002, 32, 12),
         ("mind", "cosmask_b1024", {"normalize_logits": True}, 0.002, 32, 12, 1024),
+        # round-5 (VERDICT r4 #4): close the last 0.0035@20 / 0.016@100 on
+        # the masked-in-batch winner — interests count, dim, epochs, lr axes
+        ("comirec", "mask_k6", {"num_interests": 6}, 0.002, 32, 12),
+        ("comirec", "mask_k8_e18", {"num_interests": 8}, 0.002, 32, 18),
+        ("comirec", "mask_d48", {}, 0.002, 48, 12),
+        ("comirec", "mask_lr001_e24", {}, 0.001, 32, 24),
+        ("comirec", "cosmask_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
     ]
     for cfg in configs:
         name, suffix, mp, lr, dim, epochs = cfg[:6]

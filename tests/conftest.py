@@ -20,3 +20,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 assert len(jax.devices()) == 8, jax.devices()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_trace_time_flags():
+    """The sparse-mode and training-phase flags are process globals read at
+    TRACE time (CLAUDE.md architecture invariants); a test that sets either
+    must not leak it into the next test's traces (ADVICE r4)."""
+    yield
+    from tpurec.embedding.modules import set_sparse_mode
+    from tpurec.ops.pallas.kernels import set_training_phase
+
+    set_sparse_mode(False)
+    set_training_phase(False)

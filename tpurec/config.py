@@ -145,6 +145,13 @@ class OptimizerConfig(_Base):
     # 34-operand variadic sort does NOT finish compiling in reasonable time
     # on the v5e toolchain (>8 min observed), so it stays opt-in.
     fused_backward: str = "permute"
+    # fused_adam forward gather strategy. 'concat': ONE take over the
+    # column-concatenated tables (cost = one N-row XLA row loop; the concat
+    # itself streams V*(sum D) bytes). 'packed': per-table takes against the
+    # free (V/k, 128) packed view (k = 128/D fewer source rows per take, one
+    # row loop per table + a VPU lane select). Default set by the committed
+    # end-to-end A/B in benchmarks/fm_fused_profile_results.json.
+    fused_forward: str = "concat"
 
 
 @dataclass(frozen=True)

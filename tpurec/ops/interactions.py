@@ -29,6 +29,19 @@ def fm_second_order(emb: jnp.ndarray, reduce_dim: bool = True) -> jnp.ndarray:
     Returns (B,) if reduce_dim else the (B, D) bi-interaction vector
     (the NFM pooling, 3.DCN/CustomLayers.py:451-509).
     """
+    if reduce_dim:
+        from tpurec.ops.pallas.kernels import (
+            fm_second_order_fused,
+            fused_wins,
+            pallas_available,
+        )
+
+        # 'fm' is a measured train winner (kernel_bench fm/fm_train rows), so
+        # it dispatches in BOTH phases; backward is the XLA VJP of the
+        # reference math (kernels.py _fm_bwd) — numerics identical. Full-step
+        # before/after: benchmarks/engine_ab_results.json fm kernel rows.
+        if pallas_available() and fused_wins("fm"):
+            return fm_second_order_fused(emb.astype(jnp.float32)).astype(emb.dtype)
     sum_sq = jnp.square(jnp.sum(emb, axis=1))
     sq_sum = jnp.sum(jnp.square(emb), axis=1)
     cross = 0.5 * (sum_sq - sq_sum)
@@ -187,10 +200,29 @@ class CrossNetwork(nn.Module):
     @nn.compact
     def __call__(self, x0: jnp.ndarray) -> jnp.ndarray:
         d = x0.shape[-1]
-        x = x0
+        ws, bs = [], []
         for i in range(self.num_layers):
-            w = self.param(f"w_{i}", nn.initializers.glorot_uniform(), (d, 1), jnp.float32)
-            b = self.param(f"b_{i}", nn.initializers.zeros_init(), (d,), jnp.float32)
+            ws.append(
+                self.param(f"w_{i}", nn.initializers.glorot_uniform(), (d, 1), jnp.float32)
+            )
+            bs.append(self.param(f"b_{i}", nn.initializers.zeros_init(), (d,), jnp.float32))
+        from tpurec.ops.pallas.kernels import (
+            cross_network_stack,
+            fused_wins,
+            pallas_available,
+        )
+
+        # phase-aware: cross_train measures 0.95x (kernel_bench) — reference
+        # math during training, the fused one-HBM-round-trip stack (2.7x) at
+        # inference; backward (when traced) is the XLA VJP of the reference.
+        if pallas_available() and fused_wins("cross"):
+            w_stack = jnp.concatenate([w.T for w in ws], axis=0)  # (L, D)
+            b_stack = jnp.stack(bs, axis=0)  # (L, D)
+            return cross_network_stack(
+                x0.astype(jnp.float32), w_stack, b_stack
+            ).astype(x0.dtype)
+        x = x0
+        for i, (w, b) in enumerate(zip(ws, bs)):
             xw = jnp.einsum("bd,dk->bk", x, w.astype(x.dtype))  # (B, 1)
             x = x0 * xw + b.astype(x.dtype) + x
         return x

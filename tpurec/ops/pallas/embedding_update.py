@@ -152,7 +152,13 @@ def _unpack_table(x128: jnp.ndarray, v: int, d: int, d_pad: int) -> jnp.ndarray:
 
 def _pack_grads(gs, sids, n, k, d_pad):
     """(N, D) sorted grads -> (Npad, 128), each row's values in its id's
-    lane group (sids % k); padding rows zero."""
+    lane group (sids % k); padding rows zero.
+
+    Branch-free lane placement: tile the D columns k times across the 128
+    lanes and mask every lane whose group != sids % k. A per-group Python
+    loop (k concatenated wheres) compiles to k separate (N, d_pad) buffers
+    that TPU tiling pads to (N, 128) EACH — 13 GB of HLO temps at k=128
+    (measured OOM, benchmarks/fm_fused_profile.py scatter_kernel_w1)."""
     npad = sids.shape[0]
     d = gs.shape[1]
     gs = gs.astype(jnp.float32)
@@ -160,10 +166,21 @@ def _pack_grads(gs, sids, n, k, d_pad):
         gs = jnp.pad(gs, ((0, 0), (0, d_pad - d)))
     if k > 1:
         grp = jnp.mod(sids[:n], k)[:, None]
-        gs = jnp.concatenate([jnp.where(grp == q, gs, 0.0) for q in range(k)], axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
+        tiled = jnp.tile(gs, (1, k))  # (N, 128); broadcast when d_pad == 1
+        gs = jnp.where(jax.lax.div(lane, d_pad) == grp, tiled, 0.0)
     if npad != n:
         gs = jnp.pad(gs, ((0, npad - n), (0, 0)))
     return gs
+
+
+def _group_reduce_matrix(k: int, d_pad: int) -> jnp.ndarray:
+    """Static (128, d_pad) summing matrix S[l, c] = (l % d_pad == c): for a
+    lane-masked (N, 128) array, ``sel @ S`` folds the k groups onto their
+    d_pad columns on the MXU — replacing a (N, k, d_pad) reshape+sum whose
+    TPU tiled layout pads BOTH trailing dims (128x expansion at d_pad=1)."""
+    lanes = np.arange(LANES)
+    return jnp.asarray((lanes[:, None] % d_pad) == np.arange(d_pad)[None, :], np.float32)
 
 
 def _unpack_rows(rows128, sids, n, k, d, d_pad):
@@ -171,8 +188,10 @@ def _unpack_rows(rows128, sids, n, k, d, d_pad):
     if k == 1:
         return rows128[:n, :d]
     grp = jnp.mod(sids[:n], k)[:, None]
-    out = rows128[:n].reshape(n, k, d_pad)
-    return sum(jnp.where(grp == q, out[:, q, :], 0.0) for q in range(k))[:, :d]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, LANES), 1)
+    sel = jnp.where(jax.lax.div(lane, d_pad) == grp, rows128[:n], 0.0)
+    return jax.lax.dot(sel, _group_reduce_matrix(k, d_pad),
+                        precision=jax.lax.Precision.HIGHEST)[:, :d]
 
 
 def _chunk_routing(plan: ScatterPlan, k: int, t_tiles: int):
@@ -503,24 +522,24 @@ def packed_take(table2d: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     if d >= LANES:
         return jnp.take(table2d, ids, axis=0)
     k, d_pad = _pack_factor(d)
-    if d_pad != d:
-        table2d = jnp.pad(table2d, ((0, 0), (0, d_pad - d)))
-    v_pad = _cdiv(v, k) * k
-    if v_pad != v:
-        table2d = jnp.pad(table2d, ((0, v_pad - v), (0, 0)))
-    t128 = table2d.reshape(v_pad // k, LANES)
+    if d_pad != d or v % k != 0:
+        # any pad materializes an O(V*D) table copy per step — the packed
+        # view is only a win when the reshape is FREE (ADVICE r4)
+        return jnp.take(table2d, ids, axis=0)
+    t128 = table2d.reshape(v // k, LANES)
     rows = jnp.take(t128, jax.lax.div(ids, k), axis=0)  # (N, 128)
     if k == 1:
         return rows[:, :d]
     # branch-free lane-group select: mask the k-1 foreign groups to zero in
-    # ONE vectorized pass, then reduce over the group axis (contiguous). A
-    # per-group Python loop of middle-dim slices costs k strided passes —
-    # catastrophic at k=128 (width-1 tables).
+    # ONE vectorized pass, then fold groups onto their columns with a static
+    # (128, d_pad) matmul. Both a per-group Python loop AND a
+    # (N, k, d_pad) reshape+sum materialize layout-padded intermediates
+    # (TPU tiles pad the trailing dims — 128x expansion at d_pad=1).
     grp = jnp.mod(ids, k)[:, None]
     lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
     masked = jnp.where(jax.lax.div(lane, d_pad) == grp, rows, 0.0)
-    out = jnp.sum(masked.reshape(-1, k, d_pad), axis=1)
-    return out[:, :d]
+    return jax.lax.dot(masked, _group_reduce_matrix(k, d_pad),
+                       precision=jax.lax.Precision.HIGHEST)[:, :d]
 
 
 def pick_block_rows(d: int = LANES, vmem_budget: int = 10 * 1024 * 1024, chunk: int = CHUNK) -> int:

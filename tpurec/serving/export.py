@@ -23,26 +23,28 @@ from tpurec.train.checkpoint import load_export_meta, load_exported_params
 
 class Servable:
     def __init__(self, model, variables):
+        from tpurec.ops.pallas.kernels import set_training_phase
+
         self.model = model
         self.variables = variables
-        self._rank = jax.jit(
-            lambda batch: self.model.apply(self.variables, batch, train=False)["output"]
-        )
-        self._full = jax.jit(
-            lambda batch: self.model.apply(self.variables, batch, train=False)
-        )
+
+        def _infer_apply(batch, **kw):
+            # runs at TRACE time inside each jit: serving must dispatch the
+            # fused inference forwards even when a train-step trace earlier in
+            # the process left the phase flag at True (ADVICE r4)
+            set_training_phase(False)
+            return self.model.apply(self.variables, batch, **kw)
+
+        self._rank = jax.jit(lambda batch: _infer_apply(batch, train=False)["output"])
+        self._full = jax.jit(lambda batch: _infer_apply(batch, train=False))
         self.user_tower: Optional[Callable] = None
         self.item_tower: Optional[Callable] = None
         if hasattr(model, "user_embedding"):
             self.user_tower = jax.jit(
-                lambda batch: self.model.apply(
-                    self.variables, batch, method=self.model.user_embedding
-                )
+                lambda batch: _infer_apply(batch, method=self.model.user_embedding)
             )
             self.item_tower = jax.jit(
-                lambda batch: self.model.apply(
-                    self.variables, batch, method=self.model.item_embedding
-                )
+                lambda batch: _infer_apply(batch, method=self.model.item_embedding)
             )
 
     def rank(self, batch: Dict) -> jnp.ndarray:

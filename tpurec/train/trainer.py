@@ -673,6 +673,7 @@ class Trainer:
         # since rows[j] == table[id_j]), so the original-order
         # first-occurrence mask is never needed.
         use_sort_payload = oc.fused_backward != "permute"
+        forward_strategy = oc.fused_forward
 
         def _flat(x):
             # sequence (B, L) columns flatten COLUMN-major so that, after the
@@ -704,20 +705,34 @@ class Trainer:
                 plan = make_scatter_plan(
                     ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
                 )
-            # forward rows via per-table PACKED-VIEW takes (original order):
-            # XLA's TPU gather cost scales with SOURCE ROW COUNT, not bytes
-            # (fm_fused_profile: a 213k-row take costs 10.5 ms from a 2.08M-row
-            # source but 2.1 ms from a 200k-row one), and (V, D) -> (V/k, 128)
-            # with k = 128/D is a free reshape — so gather ids//k against the
-            # k-times-smaller packed view and select the lane group on the VPU.
-            # Gradients never flow through this: rows enter compute_loss as a
-            # differentiated ARGUMENT, so no VJP is traced through the take.
+            # forward rows (original order). Gradients never flow through
+            # this gather: rows enter compute_loss as a differentiated
+            # ARGUMENT, so no VJP is traced through the take. Two strategies
+            # (OptimizerConfig.fused_forward; A/B measured end-to-end in
+            # benchmarks/fm_fused_profile_results.json):
+            #  'concat' — ONE take over the column-concatenated tables: XLA's
+            #   TPU gather is latency-bound per ROW (~24M rows/s), so a single
+            #   take over the (V, sum D) concat costs the same row loop as the
+            #   widest table's take alone.
+            #  'packed' — per-table takes of ids//k against the free
+            #   (V/k, 128) packed view (k = 128/D fewer source rows), lane
+            #   group selected on the VPU.
             widths = [int(np.prod(t.shape[1:])) for t in flat_tables]
             rows_leaves = []
-            for t, t2, wdt in zip(flat_tables, flat2d, widths):
-                rows_leaves.append(
-                    _packed_take(t2, ids_all).reshape((n_ids,) + t.shape[1:])
-                )
+            if forward_strategy == "packed":
+                for t, t2, wdt in zip(flat_tables, flat2d, widths):
+                    rows_leaves.append(
+                        _packed_take(t2, ids_all).reshape((n_ids,) + t.shape[1:])
+                    )
+            else:
+                cat = jnp.concatenate(flat2d, axis=1)
+                rows_cat = jnp.take(cat, ids_all, axis=0)
+                col = 0
+                for t, wdt in zip(flat_tables, widths):
+                    rows_leaves.append(
+                        rows_cat[:, col : col + wdt].reshape((n_ids,) + t.shape[1:])
+                    )
+                    col += wdt
             rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
             if l2_coeff > 0 and not use_sort_payload:
                 # first-occurrence mask in ORIGINAL order: used-id L2 counts
@@ -1265,6 +1280,11 @@ class Trainer:
         from tpurec.embedding.modules import set_sparse_mode
 
         set_sparse_mode(self.config.train.sparse_embedding)
+        # inference phase at TRACE time: without this, a preceding train-step
+        # trace leaves the process-global phase flag at True and the fused
+        # inference forwards (senet/cin/capsule, 2.3-6.6x) silently dispatch
+        # the training-phase reference math into the jit cache (ADVICE r4)
+        _set_phase(False)
         variables = self._variables(state)
         batch = self.device_batch(batch)
         outputs = jax.jit(partial(self.model.apply, train=False))(variables, batch)
