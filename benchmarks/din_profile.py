@@ -30,7 +30,9 @@ def main():
     model, info, seq_len = _din_model()
     B = 8192
     batch = {k: jnp.asarray(v) for k, v in _make_batch(info, B, seq_len).items()}
-    V = info.total_dims
+    from tpurec.embedding.ops import pad_vocab
+
+    V = pad_vocab(info.total_dims, 1)  # the table shape SharedEmbedding makes
     D = 32
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
@@ -43,6 +45,9 @@ def main():
     print(f"V={V} n_ids={n_ids}", flush=True)
 
     results = {"V": V, "n_ids": n_ids}
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "din_profile_results.json"
+    )
 
     def timed(name, fn, *args, iters=20, warmup=8):
         out = None
@@ -55,6 +60,8 @@ def main():
         _checksum(out)
         dt = (time.perf_counter() - t0) / iters
         results[name] = round(dt * 1e3, 3)
+        with open(out_path, "w") as f:  # incremental: crashes keep data
+            json.dump(results, f, indent=2)
         print(f"{name}: {dt*1e3:.3f} ms", flush=True)
         return out
 
@@ -83,6 +90,15 @@ def main():
         return packed_take(t, i)
 
     timed("packed_take", packed, table, ids)
+
+    # fwd+bwd THROUGH the packed view: the autodiff scatter lands on the
+    # (V/k, 128) view — k-fold fewer destination rows for XLA's row loop —
+    # while the lane select/reduce differentiates as vectorized masks+matmul
+    @jax.jit
+    def packed_gather_and_grad(t, i):
+        return jax.grad(lambda tt: jnp.sum(packed_take(tt, i) ** 2))(t)
+
+    timed("packed_gather_and_grad", packed_gather_and_grad, table, ids)
 
     # one-hot segment-sum scatter on the MXU: G = onehot(ids)^T @ g computed
     # in (8192-id, full-vocab) blocks — vocab is small enough that the

@@ -47,6 +47,18 @@ def main():
         run("fm2m_fused_packed", "fm", info2m, fused_forward="packed")
         run("fm2m_dense", "fm", info2m, mode="dense")
 
+    if which in ("fmk",):
+        # full-step A/B of the fm Pallas kernel inside the DENSE train step
+        # (VERDICT r4 #6: the isolated 15.7 ms XLA kernel_bench row is
+        # dispatch-dominated; only the full step decides the wiring)
+        from tpurec.ops.pallas import kernels as K
+
+        info2m = _fm_info()
+        run("fm2m_dense_fmkernel", "fm", info2m, mode="dense")
+        K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS - {"fm"})
+        run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
+        K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
+
     if which in ("din", "all"):
         _, dinfo, seq_len = _din_model()
         dp = {

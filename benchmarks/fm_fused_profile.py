@@ -40,6 +40,10 @@ def main():
 
     results = {}
 
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fm_fused_profile_results.json"
+    )
+
     def timed(name, fn, *args, iters=20, warmup=8):
         out = None
         for _ in range(warmup):
@@ -51,6 +55,8 @@ def main():
         _checksum(out)
         dt = (time.perf_counter() - t0) / iters
         results[name] = round(dt * 1e3, 3)
+        with open(out_path, "w") as f:  # incremental: crashes keep data
+            json.dump(results, f, indent=2)
         print(f"{name}: {dt*1e3:.3f} ms", flush=True)
         return out
 
@@ -122,6 +128,25 @@ def main():
 
     gv = timed("scatter_kernel_v32", scatter_v, gs_sorted)
     timed("scatter_kernel_w1", scatter_w, gs_sorted)
+
+    # --- block_rows sweep (r5): the kernels' one-hot + matmul cost scales
+    # with N x R (every chunk compares/multiplies against a full (R, 128)
+    # tile), so smaller tiles cut VPU+MXU work linearly until grid/DMA
+    # overheads win. Output traffic is R-independent (rows128 x 128 x 2
+    # passes either way).
+    for r_try in (512, 1024, 2048):
+        plan_r = make_scatter_plan(ids_all, v_rows, r_try, CHUNK)
+
+        @jax.jit
+        def scatter_v_r(gs, _p=plan_r):
+            return fused_scatter_add(v_rows, 32, _p, gs[:, :32])
+
+        @jax.jit
+        def gather_v_r(t, _p=plan_r):
+            return gather_rows_sorted(t, _p)
+
+        timed(f"scatter_kernel_v32_R{r_try}", scatter_v_r, gs_sorted)
+        timed(f"tile_stream_gather_v32_R{r_try}", gather_v_r, v)
 
     # today's XLA scatter at the same shapes (the r2-era 7M rows/s figure
     # that justified the Pallas kernel may be stale on this toolchain)
@@ -235,6 +260,9 @@ def main():
         + results["adam_dense_pass_v32"]
     )
     results["_sum_of_components"] = round(comp, 3)
+    results["_shapes"] = {"n_ids": int(n_ids), "v_rows": int(v_rows), "B": B}
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
 
 

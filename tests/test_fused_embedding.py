@@ -407,11 +407,27 @@ def test_auto_selects_dense_for_small_vocab():
     assert got.train.optimizer.embedding_optimizer == "adam"
 
 
-def test_auto_selects_fused_for_sequence_heavy_steps():
+def test_auto_selects_dense_for_small_vocab_sequences():
+    """DIN bench shape (550k ids/step, 21.5k-row table): dense is the
+    measured winner (engine_ab_results.json: dense 10.1 ms vs fused 32.3) —
+    the engine's per-step sort+permute costs more than the whole dense step
+    when the table pass is cheap, so 'auto' keys off table size ONLY."""
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims(
         ["u", "i", "t"], [1000, 20000, 500],
+        sequence_names=["hist"], max_seq_length=64, padding_index=0,
+    )
+    got = resolve_embedding_engine(_auto_cfg(), info)
+    assert not got.train.sparse_embedding
+    assert got.train.optimizer.embedding_optimizer == "adam"
+
+
+def test_auto_selects_fused_for_large_vocab_sequences():
+    from tpurec.train.trainer import resolve_embedding_engine
+
+    info = DataInfo.from_dims(
+        ["u", "i", "t"], [1000, 2_000_000, 500],
         sequence_names=["hist"], max_seq_length=64, padding_index=0,
     )
     got = resolve_embedding_engine(_auto_cfg(), info)
@@ -425,9 +441,11 @@ def test_auto_falls_back_to_dense_when_fused_unsupported():
     info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
     got = resolve_embedding_engine(_auto_cfg(loss="in_batch_softmax"), info)
     assert not got.train.sparse_embedding
-    # model axis > 1: row-sharded fused updates are not wired
+    # model axis > 1 no longer forces dense: the shard_map fused variant
+    # (r5) row-shards the tables, so 'auto' may still pick fused there
     got2 = resolve_embedding_engine(_auto_cfg(), info, n_model=2)
-    assert not got2.train.sparse_embedding
+    assert got2.train.sparse_embedding
+    assert got2.train.optimizer.embedding_optimizer == "fused_adam"
 
 
 def test_auto_end_to_end_matches_explicit_fused():
@@ -446,3 +464,101 @@ def test_auto_end_to_end_matches_explicit_fused():
     state = tr.init_state(batch)
     state, _, logs = tr.train_step(state, tr.device_batch(batch), tr.metrics.init())
     assert np.isfinite(float(logs["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# row-sharded fused engine (VERDICT r4 #9): on a (data=4, model=2) mesh the
+# shard_map variant (tables/moments/kernels per model shard, id+grad streams
+# per data shard, psum(G) over 'data', psum(rows) over 'model') must equal
+# dense Adam training step for step.
+
+
+def _mesh_trainer(model, mesh_cfg, sparse, emb_opt, used_l2=0.0, info=None,
+                  model_params=None):
+    cfg = ExperimentConfig(
+        mesh=mesh_cfg,
+        model=ModelConfig(
+            name=model, params=dict(model_params or {}),
+            embedding=EmbeddingConfig(dim=8, used_id_l2=used_l2),
+        ),
+        train=TrainConfig(
+            batch_size=128,
+            loss="bce",
+            log_every_steps=0,
+            compute_dtype="float32",
+            sparse_embedding=sparse,
+            optimizer=OptimizerConfig(
+                learning_rate=1e-2, embedding_optimizer=emb_opt
+            ),
+        ),
+    )
+    return Trainer(cfg, info or INFO)
+
+
+@pytest.mark.parametrize("used_l2", [0.0, 0.01])
+def test_sharded_fused_adam_matches_dense(used_l2):
+    from tpurec.config import MeshConfig
+
+    dense = _mesh_trainer("fm", MeshConfig(data=8, model=1), False, "adam", used_l2)
+    fused = _mesh_trainer("fm", MeshConfig(data=4, model=2), True, "fused_adam", used_l2)
+    batch = _data(128)
+    ds, fs = dense.init_state(batch), fused.init_state(batch)
+    dm, fm_ = dense.metrics.init(), fused.metrics.init()
+    for i in range(4):
+        b = _data(128, seed=i)
+        ds, dm, dlogs = dense.train_step(ds, dense.device_batch(b), dm)
+        fs, fm_, flogs = fused.train_step(fs, fused.device_batch(b), fm_)
+        np.testing.assert_allclose(
+            float(dlogs["loss"]), float(flogs["loss"]), rtol=2e-5, atol=1e-6
+        )
+    nv = INFO.total_dims  # pad_vocab differs with n_model; real rows must match
+    np.testing.assert_allclose(
+        np.asarray(ds.params["v"]["embedding"])[:nv],
+        np.asarray(fs.tables["v"]["embedding"])[:nv],
+        rtol=2e-4, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ds.params["w"]["w"]["embedding"])[:nv],
+        np.asarray(fs.tables["w"]["w"]["embedding"])[:nv],
+        rtol=2e-4, atol=2e-6,
+    )
+    # the fused tables must actually be row-sharded over 'model'
+    emb = fs.tables["v"]["embedding"]
+    assert len(set(d.id for d in emb.sharding.device_set)) == 8
+    shard_rows = {s.index[0] for s in emb.addressable_shards}
+    assert len(shard_rows) == 2, shard_rows
+
+
+def test_sharded_fused_adam_matches_dense_on_sequences():
+    from tpurec.config import MeshConfig
+
+    mp = {
+        "user_features": ["u"],
+        "item_features": ["i"],
+        "sequence_features": ["hist"],
+        "query_features": ["i"],
+    }
+    dense = _mesh_trainer(
+        "din", MeshConfig(data=8, model=1), False, "adam", info=SEQ_INFO,
+        model_params=mp,
+    )
+    fused = _mesh_trainer(
+        "din", MeshConfig(data=4, model=2), True, "fused_adam", info=SEQ_INFO,
+        model_params=mp,
+    )
+    batch = _seq_data(128)
+    ds, fs = dense.init_state(batch), fused.init_state(batch)
+    dm, fm_ = dense.metrics.init(), fused.metrics.init()
+    for i in range(3):
+        b = _seq_data(128, seed=i)
+        ds, dm, dlogs = dense.train_step(ds, dense.device_batch(b), dm)
+        fs, fm_, flogs = fused.train_step(fs, fused.device_batch(b), fm_)
+        np.testing.assert_allclose(
+            float(dlogs["loss"]), float(flogs["loss"]), rtol=3e-5, atol=2e-6
+        )
+    nv = SEQ_INFO.total_dims
+    np.testing.assert_allclose(
+        np.asarray(ds.params["emb"]["embedding"])[:nv],
+        np.asarray(fs.tables["emb"]["embedding"])[:nv],
+        rtol=3e-4, atol=3e-6,
+    )

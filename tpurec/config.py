@@ -149,9 +149,10 @@ class OptimizerConfig(_Base):
     # column-concatenated tables (cost = one N-row XLA row loop; the concat
     # itself streams V*(sum D) bytes). 'packed': per-table takes against the
     # free (V/k, 128) packed view (k = 128/D fewer source rows per take, one
-    # row loop per table + a VPU lane select). Default set by the committed
-    # end-to-end A/B in benchmarks/fm_fused_profile_results.json.
-    fused_forward: str = "concat"
+    # row loop per table + a VPU lane select). Default = the end-to-end A/B
+    # winner (benchmarks/engine_ab_results.json: FM@2M packed 28.1 ms vs
+    # concat 30.7; DIN packed 32.3 vs concat 33.6).
+    fused_forward: str = "packed"
 
 
 @dataclass(frozen=True)

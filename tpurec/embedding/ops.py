@@ -125,11 +125,15 @@ def _ct_bwd(res, g):
 contiguous_take.defvjp(_ct_fwd, _ct_bwd)
 
 
-def pad_vocab(vocab_size: int, n_model: int, lane: int = 8) -> int:
+def pad_vocab(vocab_size: int, n_model: int, lane: int = 128) -> int:
     """Round vocab up so row-sharding splits evenly and tiles cleanly.
 
     Always leaves at least one spare row past the real vocab — the sparse
     update engine uses the last row as the sacrificial scatter target for
-    padded duplicate ids (tpurec.embedding.sparse.unique_fixed)."""
+    padded duplicate ids (tpurec.embedding.sparse.unique_fixed). lane=128:
+    a 128-multiple row count makes every (V, D) -> (V·D/128, 128) packed
+    view a FREE reshape for power-of-two D (embedding_update.packed_take
+    falls back to a plain per-row take otherwise — measured slower on the
+    narrow w-table), at a cost of ≤127 spare rows."""
     m = n_model * lane
     return ((vocab_size + 1 + m - 1) // m) * m

@@ -86,13 +86,16 @@ def _enable_compilation_cache() -> None:
     _CACHE_SET = True
 
 
-# --- measured v5e engine crossovers (bench.py fm_crossover_step_ms) ---------
-# fused tile-stream engine vs dense XLA Adam. FM D=32 B=8192: dense wins at
-# 200k rows, fused wins at 2.08M rows; sequence-heavy steps (DIN: 550k ids vs
-# 21.5k rows) favor fused because XLA's per-row scatter dominates the dense
-# backward. Constants re-tuned whenever bench.py regenerates the crossover.
+# --- measured v5e engine crossovers (benchmarks/engine_ab_results.json +
+# bench.py fm_crossover_step_ms) ------------------------------------------
+# fused tile-stream engine vs dense XLA Adam, FULL production train steps.
+# FM D=32 B=8192: dense wins at 200k rows (10.2 vs 61.5 ms, r4 crossover),
+# fused wins at 2.08M rows (28.1 vs 43.8 ms, r5 A/B). Sequence-heavy steps
+# with SMALL vocabs (DIN: 550k ids, 21.5k rows) are a measured dense WIN
+# (10.1 vs 32.3 ms): the engine's per-step id sort+permute costs more than
+# the whole dense step when the table pass is cheap — so selection keys off
+# table size ONLY, never ids/step.
 FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # V·D above which the dense Adam pass loses
-FUSED_MIN_IDS = 200_000  # ids/step above which the XLA scatter dominates
 
 
 def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: int = 1) -> ExperimentConfig:
@@ -106,19 +109,11 @@ def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: 
         return config
     v = info.total_dims
     d = config.model.embedding.dim
-    ids_per_example = len(info.feature_names) + 2 * len(info.sequence_names) * max(
-        info.max_seq_length, 1
-    )  # ×2: neg_<series> columns ride along when the pipeline emits them
-    n_ids = config.train.batch_size * ids_per_example
     fused_ok = (
         config.train.loss != "in_batch_softmax"
-        and n_model == 1
         and (not info.sequence_names or info.padding_index == 0)
     )
-    use_fused = fused_ok and (
-        v * d >= FUSED_MIN_VOCAB_ELEMS
-        or (n_ids >= FUSED_MIN_IDS and n_ids > 2 * v)
-    )
+    use_fused = fused_ok and v * d >= FUSED_MIN_VOCAB_ELEMS
     if use_fused:
         train = config.train.replace(
             sparse_embedding=True,
@@ -619,10 +614,11 @@ class Trainer:
         never touching XLA's latency-bound gather/scatter row loops.
 
         Restrictions (falls back is NOT automatic — config error instead):
-        an unsharded model axis, padding_index == 0 for sequence datasets,
-        and no id-equality-based losses (in_batch_softmax compares raw item
-        ids across the batch; position-rewritten ids break that — use the
-        'unique' layout engines for retrieval training)."""
+        padding_index == 0 for sequence datasets, and no id-equality-based
+        losses (in_batch_softmax compares raw item ids across the batch;
+        position-rewritten ids break that — use the 'unique' layout engines
+        for retrieval training). Multi-device meshes dispatch to the
+        shard_map variant (_build_fused_train_step_sharded)."""
         from tpurec.embedding.sparse import SparseAdamState
         from tpurec.ops.pallas.embedding_update import (
             CHUNK,
@@ -650,10 +646,10 @@ class Trainer:
                 "survive the position rewrite); use 'adam'/'rowwise_adam'"
             )
         if self.mesh_ctx.mesh.shape.get("model", 1) > 1:
-            raise ValueError(
-                "embedding_optimizer='fused_adam' requires model axis == 1 "
-                "(row-sharded fused updates are not wired yet)"
-            )
+            # row-sharded tables: the shard_map variant (tables over 'model',
+            # id/grad streams over 'data'). n_model == 1 keeps the global
+            # GSPMD path below (also the single-chip bench path).
+            return self._build_fused_train_step_sharded()
         model = self.model
         tx = self.tx
         loss_fn = self.loss_fn
@@ -882,6 +878,266 @@ class Trainer:
                     oc.eps,
                     interpret=interpret,
                 )
+            new_tables = [p.reshape(t.shape) for p, t in zip(nps, flat_tables)]
+            new_opts = [
+                SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
+                for nm, nv, t in zip(nms, nvs, flat_tables)
+            ]
+            tables = jax.tree_util.tree_unflatten(treedef, new_tables)
+            table_opt = jax.tree_util.tree_unflatten(treedef, new_opts)
+            new_state = TrainState(
+                step=new_step,
+                params=params,
+                opt_state=opt_state,
+                model_state={**state.model_state, **new_model_state},
+                rng=state.rng,
+                tables=tables,
+                table_opt=table_opt,
+            )
+            metric_state = metrics.update(
+                metric_state, loss=(loss,), **self._metric_updates(outputs, batch)
+            )
+            return new_state, metric_state, logs | {"loss": loss}
+
+        return train_step
+
+    def _build_fused_train_step_sharded(self) -> Callable:
+        """fused_adam over a multi-device mesh (VERDICT r4 #9): tables, Adam
+        moments and the tile-stream kernels run PER SHARD under shard_map —
+        rows sharded over 'model', the id/grad streams over 'data'.
+
+        Design: the id sort is per-data-shard (n/n_data ids each — cheaper
+        than the global sort). Each (data, model) device clips the sorted
+        stream into its local row range: clip preserves monotonicity, and
+        clipped-out ids land on sentinels that self-mask in the kernels'
+        row-range compare (below-range ids clip to -LANES, whose truncated
+        div never matches a local row; above-range to the local sentinel
+        v_loc). The local aggregated grad is psum'd over 'data' (the DP
+        table-grad reduction) before the shard-local Adam; forward rows are
+        psum'd over 'model' (each shard contributes its rows, zeros
+        elsewhere). Backward strategy is 'permute'; used-id L2 runs in table
+        space (touched = psum'd occurrence count > 0)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tpurec.core.mesh import DATA_AXIS, MODEL_AXIS
+        from tpurec.embedding.sparse import SparseAdamState
+        from tpurec.ops.pallas.embedding_update import (
+            CHUNK,
+            LANES,
+            ScatterPlan,
+            adam_update,
+            fused_scatter_add,
+            packed_take as _packed_take,
+            pick_block_rows,
+        )
+
+        mesh = self.mesh_ctx.mesh
+        n_model = mesh.shape.get(MODEL_AXIS, 1)
+        n_data = mesh.shape.get(DATA_AXIS, 1)
+        model = self.model
+        tx = self.tx
+        loss_fn = self.loss_fn
+        metrics = self.metrics
+        oc = self.config.train.optimizer
+        l2_coeff = self.config.model.embedding.used_id_l2
+        id_features = self._id_features
+        seq_cols = set(self._id_features) - set(self.info.feature_names)
+        padding_index = self.info.padding_index
+        mutable = ["batch_stats"]
+        interpret = jax.default_backend() != "tpu"
+        chunk = CHUNK
+
+        def _flat(x):
+            return (x.T if x.ndim == 2 else x).reshape(-1).astype(jnp.int32)
+
+        def _local_plan(sids_local, v_loc, n_loc):
+            npad = -(-n_loc // chunk) * chunk
+            sids_p = jnp.concatenate(
+                [sids_local, jnp.full((npad - n_loc,), v_loc, jnp.int32)]
+            )
+            return ScatterPlan(
+                sids_p, jnp.zeros((0,), jnp.int32), n_loc, v_loc,
+                pick_block_rows(chunk=chunk), chunk,
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch, metric_state):
+            from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
+
+            set_sparse_mode(True)
+            set_sparse_layout("direct")
+            _set_phase(True)
+            step_rng = jax.random.fold_in(state.rng, state.step)
+            present = [n for n in id_features if n in batch]
+            shapes = [batch[n].shape for n in present]
+            ids_all = jnp.concatenate([_flat(batch[n]) for n in present])
+            n_ids = ids_all.shape[0]
+            flat_tables, treedef = jax.tree_util.tree_flatten(state.tables)
+            v_rows = flat_tables[0].shape[0]
+            assert all(t.shape[0] == v_rows for t in flat_tables), (
+                "fused_adam expects one shared id space across tables"
+            )
+            assert v_rows % (n_model * LANES) == 0, (
+                "pad_vocab must align shards to 128-row multiples"
+            )
+            flat2d = [t.reshape(t.shape[0], -1) for t in flat_tables]
+            widths = [int(np.prod(t.shape[1:])) for t in flat_tables]
+            v_loc = v_rows // n_model
+
+            # ---- forward rows: per-shard packed takes, psum over 'model'
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS, None),
+                check_vma=False,
+            )
+            def gather_local(t2, ids_chunk):
+                lo = jax.lax.axis_index(MODEL_AXIS) * v_loc
+                loc = ids_chunk - lo
+                valid = (loc >= 0) & (loc < v_loc)
+                out = _packed_take(t2, jnp.clip(loc, 0, v_loc - 1))
+                out = jnp.where(valid[:, None], out, 0.0)
+                return jax.lax.psum(out, MODEL_AXIS)
+
+            rows_leaves = [
+                gather_local(t2, ids_all).reshape((n_ids,) + t.shape[1:])
+                for t, t2 in zip(flat_tables, flat2d)
+            ]
+            rows = jax.tree_util.tree_unflatten(treedef, rows_leaves)
+
+            # ---- identity-position batch rewrite (as the unsharded step)
+            batch = dict(batch)
+            offset = 0
+            for name, shape in zip(present, shapes):
+                size = int(np.prod(shape))
+                pos = jnp.arange(offset, offset + size, dtype=jnp.int32)
+                if name in seq_cols and len(shape) == 2:
+                    batch[f"__mask__{name}"] = (
+                        batch[name] != padding_index
+                    ).astype(jnp.float32)
+                    pos = pos.reshape(shape[1], shape[0]).T
+                else:
+                    pos = pos.reshape(shape)
+                batch[name] = pos
+                offset += size
+
+            def compute_loss(params, rows):
+                variables = {
+                    "params": params,
+                    "tables": state.tables,
+                    "sparse_rows": rows,
+                    **state.model_state,
+                }
+                outputs, mut = model.apply(
+                    variables, batch, train=True, mutable=mutable,
+                    rngs={"dropout": step_rng, "sampling": jax.random.fold_in(step_rng, 1)},
+                )
+                loss, logs = loss_fn(outputs, batch)
+                loss, aux_logs = add_auxiliary(loss, outputs)
+                logs.update(aux_logs)
+                return loss, (outputs, dict(mut), logs)
+
+            (loss, (outputs, new_model_state, logs)), (grads, grad_rows) = (
+                jax.value_and_grad(compute_loss, argnums=(0, 1), has_aux=True)(
+                    state.params, rows
+                )
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            flat_grads = jax.tree.leaves(grad_rows)
+            flat_opt = jax.tree_util.tree_flatten(
+                state.table_opt, is_leaf=lambda x: isinstance(x, SparseAdamState)
+            )[0]
+            g_cat0 = jnp.concatenate(
+                [g.reshape(n_ids, -1) for g in flat_grads], axis=1
+            )
+
+            # ---- per-shard sort + scatter + psum(G) over 'data' + local Adam
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    P(DATA_AXIS),
+                    P(DATA_AXIS, None),
+                ),
+                out_specs=(
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    [P(MODEL_AXIS, None)] * len(flat2d),
+                    P(),
+                ),
+                check_vma=False,
+            )
+            def update_local(t2s, m2s, v2s, ids_chunk, g_chunk):
+                n_loc = ids_chunk.shape[0]
+                sids_g, order = jax.lax.sort(
+                    (ids_chunk, jax.lax.iota(jnp.int32, n_loc)), num_keys=1
+                )
+                lo = jax.lax.axis_index(MODEL_AXIS) * v_loc
+                # map into the local range, keeping monotonicity: below-range
+                # ids all land EXACTLY on -LANES (<= -k for every pack factor,
+                # so lax.div's truncate-toward-zero gives <= -1 — never a
+                # local row — while div(-128, k*R) == 0 keeps those chunks
+                # routed to tile 0); above-range on the sentinel v_loc. A
+                # plain clip would leave values in (-k, 0) whose truncated
+                # div is 0 — false hits on packed row 0.
+                sids_l = jnp.where(
+                    sids_g < lo,
+                    jnp.int32(-LANES),
+                    jnp.minimum(sids_g - lo, v_loc),
+                )
+                plan = _local_plan(sids_l, v_loc, n_loc)
+                g_sorted = jnp.take(g_chunk, order, axis=0)
+                gs_list, col = [], 0
+                for wdt in widths:
+                    gs_list.append(g_sorted[:, col : col + wdt])
+                    col += wdt
+                reg = jnp.zeros((), jnp.float32)
+                touched = None
+                if l2_coeff > 0:
+                    count = fused_scatter_add(
+                        v_loc, 1, plan, jnp.ones((n_loc, 1), jnp.float32), interpret
+                    )
+                    count = jax.lax.psum(count, DATA_AXIS)
+                    touched = (count > 0).astype(jnp.float32)
+                nps, nms, nvs = [], [], []
+                for t2, m2, v2, gs in zip(t2s, m2s, v2s, gs_list):
+                    gd = fused_scatter_add(v_loc, t2.shape[1], plan, gs, interpret)
+                    gd = jax.lax.psum(gd, DATA_AXIS)
+                    tf32 = t2.astype(jnp.float32)
+                    if touched is not None:
+                        gd = gd + l2_coeff * touched * tf32
+                        reg = reg + 0.5 * jnp.sum(
+                            touched[:, 0] * jnp.sum(jnp.square(tf32), axis=-1)
+                        )
+                    p2, mm2, vv2 = adam_update(
+                        tf32,
+                        m2.astype(jnp.float32),
+                        v2.astype(jnp.float32),
+                        gd, new_step, oc.learning_rate, oc.b1, oc.b2, oc.eps,
+                    )
+                    nps.append(p2)
+                    nms.append(mm2)
+                    nvs.append(vv2)
+                reg = jax.lax.psum(reg, MODEL_AXIS)
+                return nps, nms, nvs, reg
+
+            nps, nms, nvs, reg = update_local(
+                flat2d,
+                [o.m.reshape(o.m.shape[0], -1) for o in flat_opt],
+                [o.v.reshape(o.v.shape[0], -1) for o in flat_opt],
+                ids_all,
+                g_cat0,
+            )
+            if l2_coeff > 0:
+                loss = loss + l2_coeff * reg
+                logs = logs | {"used_id_l2": reg}
             new_tables = [p.reshape(t.shape) for p, t in zip(nps, flat_tables)]
             new_opts = [
                 SparseAdamState(nm.reshape(t.shape), nv.reshape(t.shape))
