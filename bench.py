@@ -228,11 +228,13 @@ def _measure_din(batch_size=8192, warmup=12, iters=20) -> dict:
 
 
 def _mk_trainer(
-    name, info, batch_size, mode: str, model_params=None, dim=32, opt_overrides=None
+    name, info, batch_size, mode: str, model_params=None, dim=32,
+    opt_overrides=None, emb_overrides=None,
 ):
     """mode: 'dense' (optax adam, autodiff scatter) | 'fused' (Pallas
     tile-stream engine, identical dense-Adam math) | 'sparse' (lazy
-    rowwise_adam). opt_overrides: extra OptimizerConfig fields (engine A/Bs)."""
+    rowwise_adam). opt_overrides/emb_overrides: extra OptimizerConfig /
+    EmbeddingConfig fields (engine A/Bs)."""
     from tpurec.config import (
         EmbeddingConfig,
         ExperimentConfig,
@@ -246,7 +248,8 @@ def _mk_trainer(
     emb_opt = {"dense": "adam", "fused": "fused_adam", "sparse": "rowwise_adam"}[mode]
     cfg = ExperimentConfig(
         model=ModelConfig(
-            name=name, params=dict(model_params or {}), embedding=EmbeddingConfig(dim=dim)
+            name=name, params=dict(model_params or {}),
+            embedding=EmbeddingConfig(dim=dim, **(emb_overrides or {})),
         ),
         train=TrainConfig(
             batch_size=batch_size,

@@ -30,12 +30,16 @@ def main():
         with open(RESULTS) as f:
             results = json.load(f)
 
-    def run(key, name, info, model_params=None, seq_len=0, mode="fused", **opt):
+    def run(key, name, info, model_params=None, seq_len=0, mode="fused",
+            emb=None, **opt):
         trainer = _mk_trainer(
-            name, info, 8192, mode, model_params=model_params, opt_overrides=opt
+            name, info, 8192, mode, model_params=model_params,
+            opt_overrides=opt, emb_overrides=emb,
         )
         r = _measure_trainer_step(trainer, info, 8192, seq_len=seq_len, mode=mode)
         r["opt_overrides"] = opt
+        if emb:
+            r["emb_overrides"] = emb
         results[key] = r
         print(f"{key}: {r['step_ms']} ms", flush=True)
         with open(RESULTS, "w") as f:
@@ -58,6 +62,22 @@ def main():
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS - {"fm"})
         run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
+
+    if which in ("densepg",):
+        # dense engine with packed-view lookups (EmbeddingConfig.
+        # dense_packed_gather): k-fold fewer rows for BOTH the forward take
+        # and the autodiff scatter
+        info2m = _fm_info()
+        run("fm2m_dense_packedg", "fm", info2m, mode="dense",
+            emb={"dense_packed_gather": True})
+        _, dinfo, seq_len = _din_model()
+        dp = {
+            "user_features": ["user_tag"],
+            "item_features": ["item_id", "item_tag"],
+            "sequence_features": ["history"],
+        }
+        run("din_dense_packedg", "din", dinfo, dp, seq_len, mode="dense",
+            emb={"dense_packed_gather": True})
 
     if which in ("din", "all"):
         _, dinfo, seq_len = _din_model()

@@ -30,8 +30,9 @@ def _reset_trace_time_flags():
     TRACE time (CLAUDE.md architecture invariants); a test that sets either
     must not leak it into the next test's traces (ADVICE r4)."""
     yield
-    from tpurec.embedding.modules import set_sparse_mode
+    from tpurec.embedding.modules import set_dense_packed_gather, set_sparse_mode
     from tpurec.ops.pallas.kernels import set_training_phase
 
     set_sparse_mode(False)
+    set_dense_packed_gather(False)
     set_training_phase(False)

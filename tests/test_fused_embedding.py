@@ -562,3 +562,50 @@ def test_sharded_fused_adam_matches_dense_on_sequences():
         np.asarray(fs.tables["emb"]["embedding"])[:nv],
         rtol=3e-4, atol=3e-6,
     )
+
+
+@pytest.mark.parametrize("model", ["fm", "din"])
+def test_dense_packed_gather_matches_plain_dense(model):
+    """EmbeddingConfig.dense_packed_gather routes dense lookups through the
+    free (V/k, 128) packed view; forward values are exact (0/1 selection
+    matmul at HIGHEST precision) and the autodiff scatter accumulates the
+    same per-row sums, so training must track the plain path step for step."""
+    if model == "fm":
+        info, mk = INFO, _data
+        params = None
+    else:
+        info, mk = SEQ_INFO, _seq_data
+        params = {
+            "user_features": ["u"], "item_features": ["i"],
+            "sequence_features": ["hist"], "query_features": ["i"],
+        }
+    def trainer(packed):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                name=model, params=dict(params or {}),
+                embedding=EmbeddingConfig(dim=8, dense_packed_gather=packed),
+            ),
+            train=TrainConfig(
+                batch_size=128, loss="bce", log_every_steps=0,
+                compute_dtype="float32",
+                optimizer=OptimizerConfig(learning_rate=1e-2),
+            ),
+        )
+        return Trainer(cfg, info)
+
+    a, b = trainer(False), trainer(True)
+    batch = mk(128)
+    sa, sb = a.init_state(batch), b.init_state(batch)
+    ma, mb = a.metrics.init(), b.metrics.init()
+    for i in range(3):
+        bt = mk(128, seed=i)
+        sa, ma, la = a.train_step(sa, a.device_batch(bt), ma)
+        sb, mb, lb = b.train_step(sb, b.device_batch(bt), mb)
+        np.testing.assert_allclose(
+            float(la["loss"]), float(lb["loss"]), rtol=2e-5, atol=1e-6
+        )
+    pa, pb = jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)
+    for x, y in zip(pa, pb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-6
+        )

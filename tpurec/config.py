@@ -88,6 +88,11 @@ class EmbeddingConfig(_Base):
     init_scale: float = 0.05
     # L2 only over ids used in the batch (reference: 5.DIN/ModelManager.py:175-190)
     used_id_l2: float = 0.0
+    # dense-engine lookups through the free (V/k, 128) packed table view:
+    # k-fold fewer source rows for the gather AND k-fold fewer destination
+    # rows for the autodiff scatter (XLA's TPU row loops are latency-bound
+    # per row). Single-model-axis only; A/B in engine_ab_results.json.
+    dense_packed_gather: bool = False
 
 
 @dataclass(frozen=True)

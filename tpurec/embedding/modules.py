@@ -61,6 +61,25 @@ def set_sparse_layout(layout: str) -> None:
     _SPARSE_LAYOUT = layout
 
 
+# Trace-time flag: route DENSE-path lookups through the free (V/k, 128)
+# packed view (tpurec.ops.pallas.embedding_update.packed_take) — the forward
+# gather reads a k-times-smaller source and the autodiff backward scatters
+# into k-times-fewer destination rows (XLA's TPU gather/scatter are
+# latency-bound per ROW). Single-model-axis only: the packed reshape does not
+# commute with row sharding. Measured A/B: benchmarks/engine_ab_results.json
+# dense_packed rows.
+_DENSE_PACKED_GATHER = False
+
+
+def set_dense_packed_gather(enabled: bool) -> None:
+    global _DENSE_PACKED_GATHER
+    _DENSE_PACKED_GATHER = enabled
+
+
+def dense_packed_gather_enabled() -> bool:
+    return _DENSE_PACKED_GATHER
+
+
 def sparse_layout() -> str:
     return _SPARSE_LAYOUT
 
@@ -153,6 +172,12 @@ class SharedEmbedding(nn.Module):
         )
         if self.strategy == "shard_map" and self.mesh is not None and n_model > 1:
             out = row_sharded_lookup(table, ids, self.mesh)
+        elif dense_packed_gather_enabled() and n_model == 1:
+            from tpurec.ops.pallas.embedding_update import packed_take
+
+            out = packed_take(table, ids.reshape(-1)).reshape(
+                ids.shape + (self.dim,)
+            )
         else:
             out = jnp.take(table, ids, axis=0)
         if self.is_mutable_collection("regularization"):

@@ -1168,12 +1168,20 @@ class Trainer:
         metrics = self.metrics
         l2_coeff = self.config.model.embedding.used_id_l2
         mutable = ["batch_stats", "regularization"]
+        packed_gather = (
+            self.config.model.embedding.dense_packed_gather
+            and self.mesh_ctx.mesh.shape.get("model", 1) == 1
+        )
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
-            from tpurec.embedding.modules import set_sparse_mode
+            from tpurec.embedding.modules import (
+                set_dense_packed_gather,
+                set_sparse_mode,
+            )
 
             set_sparse_mode(False)
+            set_dense_packed_gather(packed_gather)
             _set_phase(True)
             step_rng = jax.random.fold_in(state.rng, state.step)
 
@@ -1229,10 +1237,15 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, batch, metric_state):
-            from tpurec.embedding.modules import set_sparse_layout, set_sparse_mode
+            from tpurec.embedding.modules import (
+                set_dense_packed_gather,
+                set_sparse_layout,
+                set_sparse_mode,
+            )
 
             set_sparse_mode(sparse)
             set_sparse_layout("unique")
+            set_dense_packed_gather(False)
             _set_phase(False)
             variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
