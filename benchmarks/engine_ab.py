@@ -63,6 +63,12 @@ def main():
         run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
 
+    if which in ("fsort",):
+        # global vs batched per-feature id sort inside the fused step
+        info2m = _fm_info()
+        run("fm2m_fused_sort_feature", "fm", info2m, fused_sort="feature")
+        run("fm2m_fused_sort_global", "fm", info2m, fused_sort="global")
+
     if which in ("densepg",):
         # dense engine with packed-view lookups (EmbeddingConfig.
         # dense_packed_gather): k-fold fewer rows for BOTH the forward take

@@ -158,6 +158,13 @@ class OptimizerConfig(_Base):
     # winner (benchmarks/engine_ab_results.json: FM@2M packed 28.1 ms vs
     # concat 30.7; DIN packed 32.3 vs concat 33.6).
     fused_forward: str = "packed"
+    # fused_adam id-sort strategy. 'feature' (tabular datasets only):
+    # offset-encoded feature columns occupy disjoint ASCENDING id ranges, so
+    # concatenating per-column sorts IS the global sort — one batched (F, B)
+    # lax.sort replaces the (F*B,)-element global sort with a bit-identical
+    # permutation (iota tie-break order is preserved within each column).
+    # 'auto' picks 'feature' when the dataset has no sequence columns.
+    fused_sort: str = "auto"
 
 
 @dataclass(frozen=True)

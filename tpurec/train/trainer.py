@@ -670,6 +670,35 @@ class Trainer:
         # first-occurrence mask is never needed.
         use_sort_payload = oc.fused_backward != "permute"
         forward_strategy = oc.fused_forward
+        # 'feature' sort: tabular columns occupy disjoint ascending offset
+        # ranges, so concat of per-column sorts IS the global sort (and the
+        # iota tie-break yields the bit-identical permutation)
+        feature_sort = oc.fused_sort == "feature" or (
+            oc.fused_sort == "auto" and not seq_cols
+        )
+
+        def _build_plan(ids_all, present, shapes, v_rows):
+            if feature_sort and all(len(s) == 1 for s in shapes):
+                f = len(present)
+                b = shapes[0][0]
+                ids_fb = ids_all.reshape(f, b)
+                io = jnp.broadcast_to(
+                    jax.lax.iota(jnp.int32, b)[None, :], (f, b)
+                )
+                s, o = jax.lax.sort((ids_fb, io), dimension=1, num_keys=1)
+                sids = s.reshape(-1)
+                order = (o + (jnp.arange(f, dtype=jnp.int32) * b)[:, None]).reshape(-1)
+                n = f * b
+                npad = -(-n // chunk) * chunk
+                sids = jnp.concatenate(
+                    [sids, jnp.full((npad - n,), v_rows, jnp.int32)]
+                )
+                return ScatterPlan(
+                    sids, order, n, v_rows, pick_block_rows(chunk=chunk), chunk
+                )
+            return make_scatter_plan(
+                ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
+            )
 
         def _flat(x):
             # sequence (B, L) columns flatten COLUMN-major so that, after the
@@ -698,9 +727,7 @@ class Trainer:
             flat2d = [t.reshape(t.shape[0], -1) for t in flat_tables]
             plan = None
             if not use_sort_payload:
-                plan = make_scatter_plan(
-                    ids_all, v_rows, pick_block_rows(chunk=chunk), chunk
-                )
+                plan = _build_plan(ids_all, present, shapes, v_rows)
             # forward rows (original order). Gradients never flow through
             # this gather: rows enter compute_loss as a differentiated
             # ARGUMENT, so no VJP is traced through the take. Two strategies
