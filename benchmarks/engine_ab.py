@@ -63,6 +63,20 @@ def main():
         run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
 
+    if which in ("xbk",):
+        # 'xla_packed' backward: unsorted packed-destination XLA scatters —
+        # no sort / no grad permute / no Pallas plan
+        info2m = _fm_info()
+        run("fm2m_fused_xla_packed", "fm", info2m, fused_backward="xla_packed")
+        _, dinfo, seq_len = _din_model()
+        dp = {
+            "user_features": ["user_tag"],
+            "item_features": ["item_id", "item_tag"],
+            "sequence_features": ["history"],
+        }
+        run("din_fused_xla_packed", "din", dinfo, dp, seq_len,
+            fused_backward="xla_packed")
+
     if which in ("fsort",):
         # global vs batched per-feature id sort inside the fused step
         info2m = _fm_info()

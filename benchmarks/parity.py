@@ -251,7 +251,10 @@ def bench_retrieval_recall(
     out_u = jax.jit(lambda b: model.apply(variables, b, train=False))(
         {k: jnp.asarray(v) for k, v in pos.items()}
     )
-    caps = np.asarray(out_u["interest_capsules"], np.float32)  # (B, K, D)
+    if "interest_capsules" in out_u:
+        caps = np.asarray(out_u["interest_capsules"], np.float32)  # (B, K, D)
+    else:  # single-interest towers (SDM fusion gate, etc.)
+        caps = np.asarray(out_u["user_embedding"], np.float32)[:, None, :]
     cap_mask = np.asarray(
         out_u.get("capsule_mask", np.ones(caps.shape[:2])), np.float32
     )

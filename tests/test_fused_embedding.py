@@ -212,12 +212,13 @@ def test_fused_adam_matches_dense_training(model, used_l2):
 
 
 @pytest.mark.parametrize("used_l2", [0.0, 0.01])
-def test_sort_payload_matches_permute_backward(used_l2):
+@pytest.mark.parametrize("alt", ["sort_payload", "xla_packed"])
+def test_alt_backends_match_permute_backward(used_l2, alt):
     """The payload-carrying-sort backward (one lax.sort moves the grad
     columns with the id keys; used-id L2 applied in table space) must equal
     the legacy argsort + take(grads, order) permute path step for step."""
     a = _trainer("fm", sparse=True, emb_opt="fused_adam", used_l2=used_l2,
-                 fused_backward="sort_payload")
+                 fused_backward=alt)
     b = _trainer("fm", sparse=True, emb_opt="fused_adam", used_l2=used_l2,
                  fused_backward="permute")
     batch = _data(128)
@@ -274,7 +275,8 @@ def _seq_data(n=128, seed=0, with_neg=False):
     return d
 
 
-def _seq_trainer(model, sparse, emb_opt="adam", model_params=None):
+def _seq_trainer(model, sparse, emb_opt="adam", model_params=None,
+                 fused_backward="permute"):
     cfg = ExperimentConfig(
         model=ModelConfig(
             name=model,
@@ -294,18 +296,23 @@ def _seq_trainer(model, sparse, emb_opt="adam", model_params=None):
             compute_dtype="float32",
             sparse_embedding=sparse,
             optimizer=OptimizerConfig(
-                learning_rate=1e-2, embedding_optimizer=emb_opt
+                learning_rate=1e-2, embedding_optimizer=emb_opt,
+                fused_backward=fused_backward,
             ),
         ),
     )
     return Trainer(cfg, SEQ_INFO)
 
 
-@pytest.mark.parametrize("model,with_neg", [("din", False), ("dien", True)])
-def test_fused_adam_matches_dense_on_sequences(model, with_neg):
+@pytest.mark.parametrize("model,with_neg,backward", [
+    ("din", False, "permute"), ("dien", True, "permute"),
+    ("din", False, "xla_packed"),
+])
+def test_fused_adam_matches_dense_on_sequences(model, with_neg, backward):
     batch = _seq_data(128, with_neg=with_neg)
     dense = _seq_trainer(model, sparse=False)
-    fused = _seq_trainer(model, sparse=True, emb_opt="fused_adam")
+    fused = _seq_trainer(model, sparse=True, emb_opt="fused_adam",
+                         fused_backward=backward)
     ds = dense.init_state(batch)
     fs = fused.init_state(batch)
     dm, fm_ = dense.metrics.init(), fused.metrics.init()

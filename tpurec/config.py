@@ -149,6 +149,11 @@ class OptimizerConfig(_Base):
     # numerically identical (tests/test_fused_embedding.py) but the
     # 34-operand variadic sort does NOT finish compiling in reasonable time
     # on the v5e toolchain (>8 min observed), so it stays opt-in.
+    # 'xla_packed' (r5): NO sort/permute/plan — XLA scatter-add on the
+    # UNSORTED id stream into each table's free (V/k, 128) packed view
+    # (k = 128/D fewer destination rows; measured 5.07 ms vs the Pallas
+    # tile-stream kernel's 9.7 + 1.7 sort + 2.4 permute at the FM bench
+    # shapes — benchmarks/fm_fused_profile_results.json).
     fused_backward: str = "permute"
     # fused_adam forward gather strategy. 'concat': ONE take over the
     # column-concatenated tables (cost = one N-row XLA row loop; the concat

@@ -542,6 +542,45 @@ def packed_take(table2d: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
                        precision=jax.lax.Precision.HIGHEST)[:, :d]
 
 
+def packed_scatter_add(
+    v_rows: int, ids: jnp.ndarray, grads: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense (V, D) aggregated gradient via XLA's scatter-add into the FREE
+    (V/k, 128) packed view — UNSORTED ids, no plan. XLA's TPU scatter is
+    latency-bound per destination-visiting row; packing k = 128/D ids per
+    row cuts the row loop k-fold (measured 5.07 ms vs 28.2 unpacked for
+    213k ids x 32 cols @2M rows — fm_fused_profile_results.json; also beats
+    the two-pass Pallas tile-stream kernel's 9.7 ms WITHOUT the 1.7 ms sort
+    + 2.4 ms grad permute it requires)."""
+    ids = ids.reshape(-1).astype(jnp.int32)
+    d = grads.shape[-1]
+    grads = grads.reshape(-1, d).astype(jnp.float32)
+    k, d_pad = _pack_factor(d)
+    if k == 1 or d_pad != d or v_rows % k != 0:
+        return jnp.zeros((v_rows, d), jnp.float32).at[ids].add(grads)
+    grp = jnp.mod(ids, k)[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], LANES), 1)
+    g128 = jnp.where(jax.lax.div(lane, d_pad) == grp, jnp.tile(grads, (1, k)), 0.0)
+    out = jnp.zeros((v_rows // k, LANES), jnp.float32).at[jax.lax.div(ids, k)].add(g128)
+    return out.reshape(v_rows, d)
+
+
+def packed_count_rows(v_rows: int, ids: jnp.ndarray) -> jnp.ndarray:
+    """(V, 1) per-row occurrence counts via the same packed-destination
+    scatter (k = 128 ids per packed row)."""
+    ids = ids.reshape(-1).astype(jnp.int32)
+    if v_rows % LANES != 0:
+        return jnp.zeros((v_rows, 1), jnp.float32).at[ids].add(1.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], LANES), 1)
+    onehot = (lane == jnp.mod(ids, LANES)[:, None]).astype(jnp.float32)
+    out = (
+        jnp.zeros((v_rows // LANES, LANES), jnp.float32)
+        .at[jax.lax.div(ids, LANES)]
+        .add(onehot)
+    )
+    return out.reshape(v_rows, 1)
+
+
 def pick_block_rows(d: int = LANES, vmem_budget: int = 10 * 1024 * 1024, chunk: int = CHUNK) -> int:
     """Kept for API compatibility: packed tiles are (R, 128) regardless of
     D; R = 4096 keeps tile-change (and one-hot) counts low."""
