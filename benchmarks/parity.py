@@ -487,9 +487,12 @@ def main():
         }
         for name in ("mind", "comirec"):
             if name in models:
+                # n_eval 6000: recall@20 ~ 0.045 estimated over 2000 binary
+                # trials carries +-0.0046 std — more than the distance to the
+                # 85%-of-oracle bar; 6000 users cuts the eval noise ~1.7x
                 results[name] = bench_retrieval_recall(
                     name, info, train, test, raw, os.path.join(sroot, "gen"),
-                    epochs, model_params=retrieval_recipes[name],
+                    epochs, model_params=retrieval_recipes[name], n_eval=6000,
                 )
                 save()
     if "dien" in models:

@@ -36,10 +36,11 @@ def fm_second_order(emb: jnp.ndarray, reduce_dim: bool = True) -> jnp.ndarray:
             pallas_available,
         )
 
-        # 'fm' is a measured train winner (kernel_bench fm/fm_train rows), so
-        # it dispatches in BOTH phases; backward is the XLA VJP of the
-        # reference math (kernels.py _fm_bwd) — numerics identical. Full-step
-        # before/after: benchmarks/engine_ab_results.json fm kernel rows.
+        # phase-aware: the full FM train step measured SLOWER with the
+        # kernel (engine_ab_results.json fm2m_dense_fmkernel 43.5 vs 42.6 ms
+        # — kernel_bench's isolated 5.9x row is dispatch-dominated), so it
+        # dispatches at inference only; backward (when traced) is the XLA
+        # VJP of the reference math (kernels.py _fm_bwd).
         if pallas_available() and fused_wins("fm"):
             return fm_second_order_fused(emb.astype(jnp.float32)).astype(emb.dtype)
     sum_sq = jnp.square(jnp.sum(emb, axis=1))

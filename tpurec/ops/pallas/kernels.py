@@ -49,11 +49,14 @@ def pallas_available() -> bool:
 # kernel (VERDICT r3 #5).
 _TRAINING_PHASE = False
 
-# measured on v5e (benchmarks/kernel_bench_results.json *_train rows):
-# fm 5.9x and din 1.6x win under training; cross ~0.95 / capsule 0.87 /
-# cin 0.88 / senet 0.45 lose — their backward is the XLA VJP of the
-# reference recompute, so fused-forward buys nothing fwd+bwd.
-TRAIN_WINNERS = frozenset({"fm", "din"})
+# measured on v5e. din: a real FULL-STEP train win (r3: DIN step 13.79 ->
+# 9.61 ms with the fused attention backward). fm: kernel_bench's isolated
+# 5.9x fwd+bwd row is dispatch-dominated — the FULL FM train step measured
+# 43.5 ms WITH the kernel vs 42.6 without (engine_ab_results.json
+# fm2m_dense_fmkernel rows), so it dispatches at inference only, like
+# cross ~0.95x / capsule 0.87x / cin 0.88x / senet 0.45x whose fwd+bwd
+# rows lose to the XLA VJP of the reference recompute.
+TRAIN_WINNERS = frozenset({"din"})
 
 
 def set_training_phase(flag: bool) -> None:
