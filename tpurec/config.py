@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Mapping, Sequence
+from typing import Any, Mapping, Optional, Sequence
 
 
 def _coerce(cls, value):
@@ -91,8 +91,10 @@ class EmbeddingConfig(_Base):
     # dense-engine lookups through the free (V/k, 128) packed table view:
     # k-fold fewer source rows for the gather AND k-fold fewer destination
     # rows for the autodiff scatter (XLA's TPU row loops are latency-bound
-    # per row). Single-model-axis only; A/B in engine_ab_results.json.
-    dense_packed_gather: bool = False
+    # per row). None = auto: ON for large tables (FM@2M 27.4 vs 42.6 ms —
+    # engine_ab fm2m_dense_packedg), OFF for small ones where the lane
+    # masking only adds overhead (DIN 12.0 vs 10.1). Single-model-axis only.
+    dense_packed_gather: Optional[bool] = None
 
 
 @dataclass(frozen=True)

@@ -1252,10 +1252,13 @@ class Trainer:
         metrics = self.metrics
         l2_coeff = self.config.model.embedding.used_id_l2
         mutable = ["batch_stats", "regularization"]
-        packed_gather = (
-            self.config.model.embedding.dense_packed_gather
-            and self.mesh_ctx.mesh.shape.get("model", 1) == 1
-        )
+        pg_cfg = self.config.model.embedding.dense_packed_gather
+        if pg_cfg is None:  # auto: packed views win only on LARGE tables
+            pg_cfg = (
+                self.info.total_dims * self.config.model.embedding.dim
+                >= FUSED_MIN_VOCAB_ELEMS
+            )
+        packed_gather = bool(pg_cfg) and self.mesh_ctx.mesh.shape.get("model", 1) == 1
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch, metric_state):
