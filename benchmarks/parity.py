@@ -458,7 +458,7 @@ def main():
             "seconds": rep["train_seconds"],
         }
         save()
-    if {"din", "dien", "eta", "mind", "comirec"} & set(models):
+    if {"din", "dien", "eta", "mind", "comirec", "sdm", "sine"} & set(models):
         from tpurec.data.generators import SequenceDataGenerator
         from tpurec.data.loader import load_columnar, shard_paths
         from tpurec.data.synthetic import make_behavior_sequence_raw
@@ -484,8 +484,12 @@ def main():
         retrieval_recipes = {
             "mind": {"normalize_logits": True},
             "comirec": None,
+            # same data/protocol; the sweep's cosmask recipe clears the 85%
+            # bar for both (sdm 0.0485/0.192, sine 0.043/0.183)
+            "sdm": {"normalize_logits": True},
+            "sine": {"normalize_logits": True},
         }
-        for name in ("mind", "comirec"):
+        for name in ("mind", "comirec", "sdm", "sine"):
             if name in models:
                 # n_eval 6000: recall@20 ~ 0.045 estimated over 2000 binary
                 # trials carries +-0.0046 std — more than the distance to the
