@@ -396,11 +396,25 @@ def _auto_cfg(loss="bce", batch=8192, dim=32, model="fm", params=None):
     )
 
 
-def test_auto_selects_fused_for_large_vocab():
+def test_auto_selects_dense_for_large_vocab_narrow_dims():
+    """d < 128: dense with auto-packed lookups ties-or-beats the fused
+    engine at every measured shape (engine_ab_results.json: 27.4 vs
+    27.3-28.1 @2M, and wins outright below), so 'auto' picks dense."""
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
     got = resolve_embedding_engine(_auto_cfg(), info)
+    assert not got.train.sparse_embedding
+    assert got.train.optimizer.embedding_optimizer == "adam"
+
+
+def test_auto_selects_fused_for_large_vocab_wide_dims():
+    """d >= 128: no packed view exists and XLA's unpacked scatter row-loop
+    (28.2 ms measured at 2M x 32) dominates — the tile-stream regime."""
+    from tpurec.train.trainer import resolve_embedding_engine
+
+    info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
+    got = resolve_embedding_engine(_auto_cfg(dim=128), info)
     assert got.train.sparse_embedding
     assert got.train.optimizer.embedding_optimizer == "fused_adam"
 
@@ -430,14 +444,14 @@ def test_auto_selects_dense_for_small_vocab_sequences():
     assert got.train.optimizer.embedding_optimizer == "adam"
 
 
-def test_auto_selects_fused_for_large_vocab_sequences():
+def test_auto_selects_fused_for_large_vocab_wide_dim_sequences():
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims(
         ["u", "i", "t"], [1000, 2_000_000, 500],
         sequence_names=["hist"], max_seq_length=64, padding_index=0,
     )
-    got = resolve_embedding_engine(_auto_cfg(), info)
+    got = resolve_embedding_engine(_auto_cfg(dim=128), info)
     assert got.train.sparse_embedding
     assert got.train.optimizer.embedding_optimizer == "fused_adam"
 
@@ -450,14 +464,14 @@ def test_auto_falls_back_to_dense_when_fused_unsupported():
     assert not got.train.sparse_embedding
     # model axis > 1 no longer forces dense: the shard_map fused variant
     # (r5) row-shards the tables, so 'auto' may still pick fused there
-    got2 = resolve_embedding_engine(_auto_cfg(), info, n_model=2)
+    got2 = resolve_embedding_engine(_auto_cfg(dim=128), info, n_model=2)
     assert got2.train.sparse_embedding
     assert got2.train.optimizer.embedding_optimizer == "fused_adam"
 
 
-def test_auto_end_to_end_matches_explicit_fused():
-    """Trainer(auto) on a big-vocab tabular config resolves to the fused
-    engine and trains a step."""
+def test_auto_end_to_end_trains_a_step():
+    """Trainer(auto) on a big-vocab narrow-dim tabular config resolves to
+    the dense engine (auto-packed lookups) and trains a step."""
     info = DataInfo.from_dims(["a", "b"], [600_000, 600_000])
     cfg = _auto_cfg(batch=256, dim=32)
     rng = np.random.default_rng(0)
@@ -467,7 +481,8 @@ def test_auto_end_to_end_matches_explicit_fused():
         "label": rng.integers(0, 2, 256).astype(np.float32),
     }
     tr = Trainer(cfg, info)
-    assert tr.config.train.optimizer.embedding_optimizer == "fused_adam"
+    assert tr.config.train.optimizer.embedding_optimizer == "adam"
+    assert not tr.config.train.sparse_embedding
     state = tr.init_state(batch)
     state, _, logs = tr.train_step(state, tr.device_batch(batch), tr.metrics.init())
     assert np.isfinite(float(logs["loss"]))

@@ -87,15 +87,16 @@ def _enable_compilation_cache() -> None:
 
 
 # --- measured v5e engine crossovers (benchmarks/engine_ab_results.json +
-# bench.py fm_crossover_step_ms) ------------------------------------------
-# fused tile-stream engine vs dense XLA Adam, FULL production train steps.
-# FM D=32 B=8192: dense wins at 200k rows (10.2 vs 61.5 ms, r4 crossover),
-# fused wins at 2.08M rows (28.1 vs 43.8 ms, r5 A/B). Sequence-heavy steps
-# with SMALL vocabs (DIN: 550k ids, 21.5k rows) are a measured dense WIN
-# (10.1 vs 32.3 ms): the engine's per-step id sort+permute costs more than
-# the whole dense step when the table pass is cheap — so selection keys off
-# table size ONLY, never ids/step.
-FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # V·D above which the dense Adam pass loses
+# bench.py fm_crossover_step_ms), FULL production train steps -------------
+# FM D=32 B=8192 @2.08M rows: dense WITH auto-packed lookups 27.4 ms ties
+# the fused tile-stream engine 27.3-28.1 (plain dense 42.6-43.8; the r4
+# 'xla_packed' sortless backend measured 34.8 — committed A/B rows); at
+# 200k rows and on DIN (550k ids, 21.5k rows) dense wins outright (10.2 /
+# 10.1 vs fused 61.5 / 32.3). So 'auto' selects DENSE whenever the packed
+# (V/k, 128) view exists (d < 128), and the fused engine only for WIDE
+# tables (d >= 128, k = 1) large enough that XLA's unpacked scatter
+# row-loop (28.2 ms measured at 2M x 32) dominates the step.
+FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # V·D above which table passes dominate
 
 
 def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: int = 1) -> ExperimentConfig:
@@ -113,7 +114,11 @@ def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: 
         config.train.loss != "in_batch_softmax"
         and (not info.sequence_names or info.padding_index == 0)
     )
-    use_fused = fused_ok and v * d >= FUSED_MIN_VOCAB_ELEMS
+    # d < 128: the dense engine's auto-packed lookups tie-or-beat the fused
+    # engine at every measured shape (header comment). d >= 128: no packed
+    # view exists, and XLA's unpacked scatter row-loop makes big-table dense
+    # steps pathological — the Pallas tile-stream engine's regime.
+    use_fused = fused_ok and d >= 128 and v * d >= FUSED_MIN_VOCAB_ELEMS
     if use_fused:
         train = config.train.replace(
             sparse_embedding=True,
