@@ -31,9 +31,9 @@ def main():
             results = json.load(f)
 
     def run(key, name, info, model_params=None, seq_len=0, mode="fused",
-            emb=None, **opt):
+            emb=None, dim=32, **opt):
         trainer = _mk_trainer(
-            name, info, 8192, mode, model_params=model_params,
+            name, info, 8192, mode, model_params=model_params, dim=dim,
             opt_overrides=opt, emb_overrides=emb,
         )
         r = _measure_trainer_step(trainer, info, 8192, seq_len=seq_len, mode=mode)
@@ -62,6 +62,13 @@ def main():
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS - {"fm"})
         run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
+
+    if which in ("wide",):
+        # dim >= 128: no packed view exists — validates the 'auto' rule that
+        # routes ONLY this regime to the fused tile-stream engine
+        info520k = _fm_info(num_fields=26, vocab_per_field=20_000)  # 520k rows
+        run("fm520k_d128_dense", "fm", info520k, mode="dense", dim=128)
+        run("fm520k_d128_fused", "fm", info520k, mode="fused", dim=128)
 
     if which in ("xbk",):
         # 'xla_packed' backward: unsorted packed-destination XLA scatters —
