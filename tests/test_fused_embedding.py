@@ -396,27 +396,18 @@ def _auto_cfg(loss="bce", batch=8192, dim=32, model="fm", params=None):
     )
 
 
-def test_auto_selects_dense_for_large_vocab_narrow_dims():
-    """d < 128: dense with auto-packed lookups ties-or-beats the fused
-    engine at every measured shape (engine_ab_results.json: 27.4 vs
-    27.3-28.1 @2M, and wins outright below), so 'auto' picks dense."""
+def test_auto_selects_dense_everywhere():
+    """The dense engine (auto-packed narrow-dim lookups) wins or ties the
+    fused engine at EVERY shape in the committed A/B matrix — 2M/200k rows
+    at d=32, 520k rows at d=128, DIN sequences (engine_ab_results.json) —
+    so 'auto' always resolves to dense."""
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
-    got = resolve_embedding_engine(_auto_cfg(), info)
-    assert not got.train.sparse_embedding
-    assert got.train.optimizer.embedding_optimizer == "adam"
-
-
-def test_auto_selects_fused_for_large_vocab_wide_dims():
-    """d >= 128: no packed view exists and XLA's unpacked scatter row-loop
-    (28.2 ms measured at 2M x 32) dominates — the tile-stream regime."""
-    from tpurec.train.trainer import resolve_embedding_engine
-
-    info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
-    got = resolve_embedding_engine(_auto_cfg(dim=128), info)
-    assert got.train.sparse_embedding
-    assert got.train.optimizer.embedding_optimizer == "fused_adam"
+    for dim in (32, 128):
+        got = resolve_embedding_engine(_auto_cfg(dim=dim), info)
+        assert not got.train.sparse_embedding
+        assert got.train.optimizer.embedding_optimizer == "adam"
 
 
 def test_auto_selects_dense_for_small_vocab():
@@ -444,7 +435,7 @@ def test_auto_selects_dense_for_small_vocab_sequences():
     assert got.train.optimizer.embedding_optimizer == "adam"
 
 
-def test_auto_selects_fused_for_large_vocab_wide_dim_sequences():
+def test_auto_selects_dense_for_large_vocab_sequences():
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims(
@@ -452,21 +443,18 @@ def test_auto_selects_fused_for_large_vocab_wide_dim_sequences():
         sequence_names=["hist"], max_seq_length=64, padding_index=0,
     )
     got = resolve_embedding_engine(_auto_cfg(dim=128), info)
-    assert got.train.sparse_embedding
-    assert got.train.optimizer.embedding_optimizer == "fused_adam"
+    assert not got.train.sparse_embedding
+    assert got.train.optimizer.embedding_optimizer == "adam"
 
 
-def test_auto_falls_back_to_dense_when_fused_unsupported():
+def test_auto_resolves_dense_for_all_losses_and_meshes():
     from tpurec.train.trainer import resolve_embedding_engine
 
     info = DataInfo.from_dims([f"f{i}" for i in range(26)], [80_000] * 26)
     got = resolve_embedding_engine(_auto_cfg(loss="in_batch_softmax"), info)
     assert not got.train.sparse_embedding
-    # model axis > 1 no longer forces dense: the shard_map fused variant
-    # (r5) row-shards the tables, so 'auto' may still pick fused there
     got2 = resolve_embedding_engine(_auto_cfg(dim=128), info, n_model=2)
-    assert got2.train.sparse_embedding
-    assert got2.train.optimizer.embedding_optimizer == "fused_adam"
+    assert not got2.train.sparse_embedding
 
 
 def test_auto_end_to_end_trains_a_step():

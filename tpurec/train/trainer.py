@@ -88,47 +88,38 @@ def _enable_compilation_cache() -> None:
 
 # --- measured v5e engine crossovers (benchmarks/engine_ab_results.json +
 # bench.py fm_crossover_step_ms), FULL production train steps -------------
-# FM D=32 B=8192 @2.08M rows: dense WITH auto-packed lookups 27.4 ms ties
-# the fused tile-stream engine 27.3-28.1 (plain dense 42.6-43.8; the r4
-# 'xla_packed' sortless backend measured 34.8 — committed A/B rows); at
-# 200k rows and on DIN (550k ids, 21.5k rows) dense wins outright (10.2 /
-# 10.1 vs fused 61.5 / 32.3). So 'auto' selects DENSE whenever the packed
-# (V/k, 128) view exists (d < 128), and the fused engine only for WIDE
-# tables (d >= 128, k = 1) large enough that XLA's unpacked scatter
-# row-loop (28.2 ms measured at 2M x 32) dominates the step.
-FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # V·D above which table passes dominate
+# The dense engine wins or ties at EVERY measured shape once narrow-dim
+# lookups route through the free (V/k, 128) packed view:
+#   FM 2.08M rows D=32:  dense+packed 25.9-27.4  vs fused 27.3-30.7
+#   FM 200k rows  D=32:  dense 10.2-12.3         vs fused 20.0-61.5
+#   FM 520k rows  D=128: dense 12.5              vs fused 20.4
+#   DIN 21.5k rows (550k ids/step): dense 10.1   vs fused 25.9-32.3
+# The "slow XLA scatter" the tile-stream engine was built against is a
+# NARROW-row artifact (rows lane-pad to 128 — 4x wasted traffic at D=32,
+# 28.2 ms measured); full-lane rows scatter efficiently, and packing gives
+# narrow dims the same escape. 'auto' therefore always picks dense; the
+# fused engine stays available as an opt-in (tested, sharded).
+FUSED_MIN_VOCAB_ELEMS = 32 * 1_000_000  # gate for dense auto-packed lookups
 
 
 def resolve_embedding_engine(config: ExperimentConfig, info: DataInfo, n_model: int = 1) -> ExperimentConfig:
-    """embedding_optimizer='auto': pick dense XLA vs the fused Pallas engine
-    from vocab size and ids/step (VERDICT r3 #3 — selection was a manual
-    config knob). Returns a resolved config; 'auto' also decides
-    TrainConfig.sparse_embedding. Falls back to dense whenever the fused
-    engine's restrictions (loss/mesh/padding) apply."""
+    """embedding_optimizer='auto': resolve to the measured-fastest engine.
+
+    The dense engine (with auto-packed narrow-dim lookups,
+    EmbeddingConfig.dense_packed_gather) wins or ties the fused tile-stream
+    engine at every shape in the committed full-step A/B matrix (module
+    header comment; benchmarks/engine_ab_results.json), so 'auto' always
+    resolves to dense. The fused engine and the lazy sparse optimizers stay
+    available as explicit choices — the sparse family for optimizer MEMORY
+    (rowwise_adam 0.53x table memory, host_adam zero device bytes), not
+    speed."""
     oc = config.train.optimizer
     if oc.embedding_optimizer != "auto":
         return config
-    v = info.total_dims
-    d = config.model.embedding.dim
-    fused_ok = (
-        config.train.loss != "in_batch_softmax"
-        and (not info.sequence_names or info.padding_index == 0)
+    train = config.train.replace(
+        sparse_embedding=False,
+        optimizer=oc.replace(embedding_optimizer="adam"),
     )
-    # d < 128: the dense engine's auto-packed lookups tie-or-beat the fused
-    # engine at every measured shape (header comment). d >= 128: no packed
-    # view exists, and XLA's unpacked scatter row-loop makes big-table dense
-    # steps pathological — the Pallas tile-stream engine's regime.
-    use_fused = fused_ok and d >= 128 and v * d >= FUSED_MIN_VOCAB_ELEMS
-    if use_fused:
-        train = config.train.replace(
-            sparse_embedding=True,
-            optimizer=oc.replace(embedding_optimizer="fused_adam"),
-        )
-    else:
-        train = config.train.replace(
-            sparse_embedding=False,
-            optimizer=oc.replace(embedding_optimizer="adam"),
-        )
     return config.replace(train=train)
 
 
