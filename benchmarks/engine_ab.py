@@ -63,6 +63,15 @@ def main():
         run("fm2m_dense_nofmkernel", "fm", info2m, mode="dense")
         K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"fm"})
 
+    if which in ("final",):
+        # headline triple in ONE process (process-to-process drift on the
+        # tunnel is ~10%): plain dense vs auto-packed dense vs fused default
+        info2m = _fm_info()
+        run("fm2m_final_dense_plain", "fm", info2m, mode="dense",
+            emb={"dense_packed_gather": False})
+        run("fm2m_final_dense_auto", "fm", info2m, mode="dense")
+        run("fm2m_final_fused", "fm", info2m, mode="fused")
+
     if which in ("wide",):
         # dim >= 128: no packed view exists — validates the 'auto' rule that
         # routes ONLY this regime to the fused tile-stream engine
