@@ -619,3 +619,55 @@ def test_dense_packed_gather_matches_plain_dense(model):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-6
         )
+
+
+def test_sharded_fused_l2_matches_global_fused_on_sequences():
+    """used-id L2 counts each unique id once GLOBALLY in both the global
+    fused engine (rows-space first-occurrence) and the sharded engine
+    (psum'd table-space touched mask) — so the two must track step for step
+    on sequence data (dense differs there: it counts per lookup site)."""
+    from tpurec.config import MeshConfig
+
+    mp = {
+        "user_features": ["u"], "item_features": ["i"],
+        "sequence_features": ["hist"], "query_features": ["i"],
+    }
+
+    def trainer(mesh_cfg):
+        cfg = ExperimentConfig(
+            mesh=mesh_cfg,
+            model=ModelConfig(
+                name="din", params=dict(mp),
+                embedding=EmbeddingConfig(dim=8, used_id_l2=0.01),
+            ),
+            train=TrainConfig(
+                batch_size=128, loss="bce", log_every_steps=0,
+                compute_dtype="float32", sparse_embedding=True,
+                optimizer=OptimizerConfig(
+                    learning_rate=1e-2, embedding_optimizer="fused_adam"
+                ),
+            ),
+        )
+        return Trainer(cfg, SEQ_INFO)
+
+    g = trainer(MeshConfig(data=8, model=1))
+    sh = trainer(MeshConfig(data=4, model=2))
+    batch = _seq_data(128)
+    sg, ss = g.init_state(batch), sh.init_state(batch)
+    mg, msh = g.metrics.init(), sh.metrics.init()
+    for i in range(3):
+        b = _seq_data(128, seed=i)
+        sg, mg, lg = g.train_step(sg, g.device_batch(b), mg)
+        ss, msh, lsh = sh.train_step(ss, sh.device_batch(b), msh)
+        np.testing.assert_allclose(
+            float(lg["loss"]), float(lsh["loss"]), rtol=3e-5, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            float(lg["used_id_l2"]), float(lsh["used_id_l2"]), rtol=3e-5, atol=2e-6
+        )
+    nv = SEQ_INFO.total_dims
+    np.testing.assert_allclose(
+        np.asarray(sg.tables["emb"]["embedding"])[:nv],
+        np.asarray(ss.tables["emb"]["embedding"])[:nv],
+        rtol=3e-4, atol=3e-6,
+    )

@@ -622,14 +622,12 @@ class Trainer:
             _unpermute,
             adam_update,
             fused_scatter_add,
-            gather_rows_grouped,
             make_scatter_plan,
             packed_count_rows,
             packed_scatter_add,
             packed_take as _packed_take,
             pick_block_rows,
             scatter_adam_grouped,
-            unpermute_rows,
         )
 
         if self.info.sequence_names and self.info.padding_index != 0:
