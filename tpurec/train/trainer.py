@@ -1315,6 +1315,17 @@ class Trainer:
         metrics = self.metrics
 
         sparse = self.config.train.sparse_embedding
+        pg_cfg = self.config.model.embedding.dense_packed_gather
+        if pg_cfg is None:
+            pg_cfg = (
+                self.info.total_dims * self.config.model.embedding.dim
+                >= FUSED_MIN_VOCAB_ELEMS
+            )
+        packed_gather = (
+            bool(pg_cfg)
+            and not sparse
+            and self.mesh_ctx.mesh.shape.get("model", 1) == 1
+        )
 
         @jax.jit
         def eval_step(state: TrainState, batch, metric_state):
@@ -1326,7 +1337,7 @@ class Trainer:
 
             set_sparse_mode(sparse)
             set_sparse_layout("unique")
-            set_dense_packed_gather(False)
+            set_dense_packed_gather(packed_gather)
             _set_phase(False)
             variables = Trainer._variables(state)
             outputs = model.apply(variables, batch, train=False)
