@@ -107,6 +107,13 @@ def main():
         ("comirec", "mask_d48", {}, 0.002, 48, 12),
         ("comirec", "mask_lr001_e24", {}, 0.001, 32, 24),
         ("comirec", "cosmask_k8", {"normalize_logits": True, "num_interests": 8}, 0.002, 32, 12),
+        # r5b: SDM's SINGLE fused interest scores best@100 on this corpus and
+        # every K>=6 row is worse — users plant few dominant topics, so push
+        # K DOWN instead
+        ("comirec", "mask_k2", {"num_interests": 2}, 0.002, 32, 12),
+        ("comirec", "mask_k3", {"num_interests": 3}, 0.002, 32, 12),
+        ("comirec", "cosmask_k2", {"normalize_logits": True, "num_interests": 2}, 0.002, 32, 12),
+        ("mind", "cosmask_k2", {"normalize_logits": True, "num_interests": 2}, 0.002, 32, 12),
     ]
     for cfg in configs:
         name, suffix, mp, lr, dim, epochs = cfg[:6]
