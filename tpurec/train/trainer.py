@@ -1059,6 +1059,11 @@ class Trainer:
             assert v_rows % (n_model * LANES) == 0, (
                 "pad_vocab must align shards to 128-row multiples"
             )
+            assert n_ids % n_data == 0, (
+                f"sharded fused_adam splits the id stream over 'data': "
+                f"{n_ids} ids do not divide over {n_data} data shards "
+                f"(make batch_size a multiple of the data axis)"
+            )
             flat2d = [t.reshape(t.shape[0], -1) for t in flat_tables]
             widths = [int(np.prod(t.shape[1:])) for t in flat_tables]
             v_loc = v_rows // n_model
