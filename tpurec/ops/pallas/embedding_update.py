@@ -1,10 +1,13 @@
 """Fused embedding gather / scatter-grad Pallas kernels — the sparse-update
 engine's hot path.
 
-Why: XLA's TPU gather runs at ~24M rows/s and scatter at ~7M rows/s
-(measured on v5e — both are latency-bound row loops), so a single FM train
-step at B=8192, F=26 spends 35+ ms in the embedding-table scatter-add alone
-(BENCH r2: 42 ms step of which ~3 ms is roofline-justified).
+Why: XLA's TPU gather and scatter are latency-bound row loops whose cost
+also scales with the SOURCE/DESTINATION row count (r5 measurements: a
+213k-row gather costs 10.5 ms from a 2.08M-row source vs 2.1 ms from a
+200k-row one; the same scatter runs 28.2 ms into (2M, 32) vs 5.1 ms into
+the packed (520k, 128) view), so a plain FM train step at B=8192, F=26
+spends most of its 42 ms in the table gather/scatter (vs ~3 ms
+roofline-justified).
 
 Design (third iteration — the measured constraints that shaped it):
   1. **Packed lanes.** A (V, D) table streams as its (V/k, 128) view with
