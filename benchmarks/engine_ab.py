@@ -72,6 +72,22 @@ def main():
         run("fm2m_final_dense_auto", "fm", info2m, mode="dense")
         run("fm2m_final_fused", "fm", info2m, mode="fused")
 
+    if which in ("dink",):
+        # full-step A/B of the DIN fused-attention kernel (fwd+bwd) on the
+        # current toolchain — the one remaining TRAIN_WINNERS entry
+        from tpurec.ops.pallas import kernels as K
+
+        _, dinfo, seq_len = _din_model()
+        dp = {
+            "user_features": ["user_tag"],
+            "item_features": ["item_id", "item_tag"],
+            "sequence_features": ["history"],
+        }
+        run("din_dense_dinkernel", "din", dinfo, dp, seq_len, mode="dense")
+        K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS - {"din"})
+        run("din_dense_nodinkernel", "din", dinfo, dp, seq_len, mode="dense")
+        K.TRAIN_WINNERS = frozenset(K.TRAIN_WINNERS | {"din"})
+
     if which in ("wide",):
         # dim >= 128: no packed view exists — validates the 'auto' rule that
         # routes ONLY this regime to the fused tile-stream engine

@@ -49,14 +49,16 @@ def pallas_available() -> bool:
 # kernel (VERDICT r3 #5).
 _TRAINING_PHASE = False
 
-# measured on v5e. din: a real FULL-STEP train win (r3: DIN step 13.79 ->
-# 9.61 ms with the fused attention backward). fm: kernel_bench's isolated
-# 5.9x fwd+bwd row is dispatch-dominated — the FULL FM train step measured
-# 43.5 ms WITH the kernel vs 42.6 without (engine_ab_results.json
-# fm2m_dense_fmkernel rows), so it dispatches at inference only, like
-# cross ~0.95x / capsule 0.87x / cin 0.88x / senet 0.45x whose fwd+bwd
-# rows lose to the XLA VJP of the reference recompute.
-TRAIN_WINNERS = frozenset({"din"})
+# measured on v5e, FULL train steps (engine_ab_results.json): no kernel
+# wins fwd+bwd on the current toolchain. din's r3-era full-step win
+# (13.79 -> 9.61 ms) no longer reproduces (10.23 WITH vs 10.12 without —
+# din_dense_dinkernel rows); fm measured 43.5 with vs 42.6 without
+# (kernel_bench's isolated *_train speedups are dispatch-dominated), and
+# cross ~0.95x / capsule 0.87x / cin 0.88x / senet 0.45x lose to the XLA
+# VJP of the reference recompute. Training therefore always runs reference
+# math; the fused forwards dispatch at inference, where their 2.3-6.6x
+# wins survive.
+TRAIN_WINNERS = frozenset()
 
 
 def set_training_phase(flag: bool) -> None:
