@@ -373,7 +373,11 @@ def main():
         cpu_rate = float(json.loads(out.stdout.strip().splitlines()[-1])["examples_per_s"])
     except Exception:
         cpu_rate = float("nan")
-    best_examples_s = max(din["examples_per_s"], din_fused["examples_per_s"])
+    best_examples_s = max(
+        din["examples_per_s"],
+        din_fused["examples_per_s"],
+        din_dense_tr["examples_per_s"],
+    )
     vs = best_examples_s / cpu_rate if cpu_rate == cpu_rate else 1.0
     print(
         json.dumps(
