@@ -303,7 +303,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small data / few epochs")
     ap.add_argument(
         "--models",
-        default="fm,deepfm,dssm,fm_weak,autoint_weak,mmoe,din,dien,eta,mind,comirec",
+        default="fm,deepfm,dssm,fm_weak,autoint_weak,mmoe,din,dien,eta,mind,comirec,sdm,sine",
     )
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "parity_results.json"))
     args = ap.parse_args()
